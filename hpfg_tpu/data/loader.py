@@ -1,0 +1,138 @@
+"""Batch loading machinery.
+
+Replaces torch DataLoader worker processes (reference: datasets/ACDC.py:127-129,
+workers=4) with a thread-pool batch assembler + background prefetch: numpy
+releases the GIL inside h5py/scipy, so threads overlap decode/augment with
+device compute without process-spawn overhead, and the arrays land in
+page-locked host memory ready for a single device_put per batch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Protocol, Sequence
+
+import numpy as np
+
+
+class SliceSource(Protocol):
+    def __len__(self) -> int: ...
+
+    def load(self, idx: int):
+        """Return the raw (image, mask) numpy pair for one sample."""
+
+
+class Subset:
+    """Index-based view of a source (torch random_split equivalent,
+    reference: datasets/ACDC.py:122-124)."""
+
+    def __init__(self, source: SliceSource, indices: Sequence[int]):
+        self.source = source
+        self.indices = list(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def load(self, idx: int):
+        return self.source.load(self.indices[idx])
+
+
+def random_split(source: SliceSource, first_len: int,
+                 seed: int) -> tuple[Subset, Subset]:
+    perm = np.random.default_rng(seed).permutation(len(source))
+    return (Subset(source, perm[:first_len]),
+            Subset(source, perm[first_len:]))
+
+
+class BatchLoader:
+    """Shuffled, drop-last batch iterator with threaded sample assembly.
+
+    transform(image, mask) runs per sample in the worker pool; batches are
+    stacked into contiguous float32/int32 arrays (NHWC images, HxW masks).
+    """
+
+    def __init__(self, source: SliceSource, batch_size: int,
+                 transform: Callable | None = None, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0, num_threads: int = 8,
+                 prefetch: int = 4):
+        self.source = source
+        self.batch_size = batch_size
+        self.transform = transform
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.source)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _load_one(self, idx: int):
+        image, mask = self.source.load(idx)
+        if self.transform is not None:
+            image, mask = self.transform(image, mask)
+        return image, mask
+
+    def _batches_for_epoch(self, epoch: int) -> list[np.ndarray]:
+        n = len(self.source)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + epoch).permutation(n)
+        else:
+            order = np.arange(n)
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        return [order[i:i + self.batch_size]
+                for i in range(0, end, self.batch_size)]
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        epoch = self._epoch
+        self._epoch += 1
+        batches = self._batches_for_epoch(epoch)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self._load_one, idxs))
+                    images = np.stack([s[0] for s in samples]).astype(np.float32)
+                    masks = np.stack([s[1] for s in samples]).astype(np.int32)
+                    q.put((images, masks))
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+    def cycle(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Eternal iteration (the reference's StopIteration-reinit labeled
+        stream, e.g. 2017_03_NIPS_Mean-Teacher_ACDC.py:83-87)."""
+        while True:
+            yield from self
+
+
+class VolumeLoader:
+    """Batch-size-1 volume iterator for eval (reference test loaders,
+    datasets/ACDC.py:129: DataLoader(test_dataset, batch_size=1))."""
+
+    def __init__(self, source: SliceSource):
+        self.source = source
+
+    def __len__(self) -> int:
+        return len(self.source)
+
+    def __iter__(self):
+        for i in range(len(self.source)):
+            yield self.source.load(i)

@@ -1,0 +1,150 @@
+"""Volume evaluation (ACDC / Synapse style).
+
+Reference flow (val.py:268-287): python loop over volume slices, each slice
+individually zoomed on host, copied to device, forwarded with batch size 1,
+argmaxed, copied back, zoomed back — a host↔device ping-pong per slice.
+
+TPU rebuild: all slices of a volume are zoomed once, stacked, padded to a
+fixed chunk size and forwarded in batched jitted calls; only the final
+integer prediction volume returns to host. Distance-transform metrics (HD95)
+stay on host (scipy), overlap metrics are cheap numpy sums over the already
+materialized masks. Resize parity: scipy order-0 zoom on both directions,
+exactly as the reference (val.py:274, 280).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hpfg_tpu.data.transforms import nearest_zoom
+from hpfg_tpu.evals.metrics import calculate_metric_percase
+
+# Volumes are padded to a multiple of this many slices so jit sees a tiny,
+# fixed set of batch shapes (1-2 compilations, reused across volumes).
+DEFAULT_CHUNK = 16
+
+
+class SliceForward:
+    """Jitted chunked argmax-forward over stacks of slices.
+
+    apply_fn(variables, x[N, H, W, C_in]) -> logits [N, H, W, C]; `val`-style
+    inference (no dropout, running BN stats), matching the reference's
+    model.val()/model() eval calls (main.py:315, val.py:278).
+    """
+
+    def __init__(self, apply_fn: Callable, chunk: int = DEFAULT_CHUNK):
+        self.chunk = chunk
+
+        def fwd(variables, x):
+            logits = apply_fn(variables, x)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        self._fwd = jax.jit(fwd)
+
+    def __call__(self, variables, slices: np.ndarray) -> np.ndarray:
+        """slices: [D, H, W, C_in] float32 → predictions [D, H, W] int32."""
+        d = slices.shape[0]
+        pad = (-d) % self.chunk
+        if pad:
+            slices = np.concatenate(
+                [slices, np.zeros((pad,) + slices.shape[1:], slices.dtype)])
+        outs = []
+        for i in range(0, slices.shape[0], self.chunk):
+            outs.append(np.asarray(self._fwd(variables, slices[i:i + self.chunk])))
+        return np.concatenate(outs)[:d]
+
+
+def predict_volume(forward: SliceForward, variables, image: np.ndarray,
+                   patch_size: tuple[int, int],
+                   zoom_order: int = 0) -> np.ndarray:
+    """image: [D, H, W] → predicted labels [D, H, W] (native resolution)."""
+    d, h, w = image.shape
+    ph, pw = patch_size
+    if (h, w) != (ph, pw):
+        if zoom_order == 0:
+            # order-0 zoom is a pure index map — compute it once, apply to all
+            # slices with one fancy-index (reference zooms per slice,
+            # val.py:274).
+            ys = _zoom_index_map(h, ph)
+            xs = _zoom_index_map(w, pw)
+            resized = image[:, ys[:, None], xs[None, :]]
+        else:
+            from scipy.ndimage import zoom
+
+            resized = np.stack([
+                zoom(image[i], (ph / h, pw / w), order=zoom_order)
+                for i in range(d)])
+    else:
+        resized = image
+    preds = forward(variables, resized[..., None].astype(np.float32))
+    if (h, w) != (ph, pw):
+        ys = _zoom_index_map(ph, h)
+        xs = _zoom_index_map(pw, w)
+        preds = preds[:, ys[:, None], xs[None, :]]
+    return preds
+
+
+def _zoom_index_map(in_size: int, out_size: int) -> np.ndarray:
+    """Index map replicating scipy.ndimage.zoom(..., order=0) coordinates."""
+    idx = np.arange(out_size)
+    # scipy zoom maps output i -> input i * (in-1)/(out-1) (endpoint-aligned)
+    if out_size == 1:
+        src = np.zeros(1)
+    else:
+        src = idx * (in_size - 1) / (out_size - 1)
+    return np.clip(np.round(src).astype(np.int64), 0, in_size - 1)
+
+
+def evaluate_volumes(forward: SliceForward, variables, volumes,
+                     num_classes: int, patch_size: tuple[int, int],
+                     zoom_order: int = 0):
+    """Evaluate an iterable of (image [D, H, W], label [D, H, W]) volumes.
+
+    Returns (mean_dice, mean_hd95, per_class [C-1, 2]) with the reference's
+    volume-then-class averaging (val.py:187-193).
+    """
+    metric_sum = np.zeros((num_classes - 1, 2), dtype=np.float64)
+    count = 0
+    first = None
+    for image, label in volumes:
+        image = np.asarray(image, dtype=np.float32)
+        label = np.asarray(label)
+        pred = predict_volume(forward, variables, image, patch_size, zoom_order)
+        for i in range(1, num_classes):
+            metric_sum[i - 1] += np.asarray(
+                calculate_metric_percase(pred == i, label == i))
+        count += 1
+        if first is None:
+            first = (image, label, pred)
+    per_class = metric_sum / max(count, 1)
+    return float(per_class[:, 0].mean()), float(per_class[:, 1].mean()), per_class, first
+
+
+def evaluate_images(forward: SliceForward, variables, loader,
+                    full_metrics: bool = False):
+    """Binary 2-D eval for LIDC/ISIC-style loaders yielding batches
+    (reference test_lidc val.py:86-106, test_isic val.py:125-151).
+
+    Returns (dice, hd95) or (dice, hd95, jaccard, asd) dataset-weighted means.
+    """
+    from hpfg_tpu.evals.metrics import calculate_metric_percase_full
+
+    sums = np.zeros(4 if full_metrics else 2, dtype=np.float64)
+    n = 0
+    for images, labels in loader:
+        images = np.asarray(images, dtype=np.float32)
+        labels = np.asarray(labels)
+        preds = forward(variables, images)
+        bs = images.shape[0]
+        if full_metrics:
+            m = calculate_metric_percase_full(preds == 1, labels == 1)
+        else:
+            m = calculate_metric_percase(preds == 1, labels == 1)
+        sums += np.asarray(m) * bs
+        n += bs
+    sums /= max(n, 1)
+    return tuple(float(v) for v in sums)

@@ -1,0 +1,94 @@
+"""Model zoo registry (reference: model/builder.py:14-62).
+
+`build_model(cfg)` maps the same registry strings the reference accepts
+(unet, unet_plus, unet_large, unet_lidc, swinunet, swinunet_plus,
+swinunet_lidc, transunet, transunet_lidc, segformer, segformer_plus, cmt,
+cmt_plus, uniformer_plus, ssnet, swinmae) to Flax modules.
+
+Output conventions (same as the reference, model/builder.py docnotes):
+  * plain models: __call__(x, train) -> logits [B, H, W, C]
+  * *_plus models: __call__ -> (logits, (g_high, d_high), (g_head, d_head)),
+    with a `.val(x)` method returning logits only
+  * ssnet: (logits, last_feature) plus projection/prediction/selector heads
+  * swinmae: (reconstruction, mask)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from hpfg_tpu.registry import Registry
+from hpfg_tpu.models.unet import UNet, UNetLIDC, UNetLarge, UNetPlus
+
+MODELS = Registry("model")
+
+MODELS.register("unet")(UNet)
+MODELS.register("unet_plus")(UNetPlus)
+MODELS.register("unet_large")(UNetLarge)
+MODELS.register("unet_lidc")(UNetLIDC)
+
+
+def _image_size(cfg) -> int:
+    size = cfg.get("train_crop_size", 224)
+    if isinstance(size, (list, tuple)):
+        return int(size[0])
+    return int(size)
+
+
+def build_model(cfg, dtype=jnp.float32):
+    """Instantiate a model module from a config block
+    (reference build_model, model/builder.py:14-62).
+
+    ``cfg`` is either the top-level config or a model1:/model2: sub-block with
+    keys: model, in_channels, num_classes (+ train_crop_size for
+    size-dependent transformers, mask_ratio for swinmae).
+    """
+    name = str(cfg.model).lower()
+    in_channels = int(cfg.get("in_channels", 1))
+    num_classes = int(cfg.get("num_classes", 4))
+
+    if name in ("unet", "unet_plus", "unet_large", "unet_lidc"):
+        return MODELS.get(name)(in_channels=in_channels,
+                                num_classes=num_classes, dtype=dtype)
+    if name in ("swinunet", "swinunet_plus", "swinunet_lidc"):
+        from hpfg_tpu.models.swinunet import build_swinunet
+
+        return build_swinunet(name, img_size=_image_size(cfg),
+                              in_channels=in_channels,
+                              num_classes=num_classes, dtype=dtype)
+    if name in ("segformer", "segformer_plus"):
+        from hpfg_tpu.models.segformer import build_segformer
+
+        return build_segformer(name, img_size=_image_size(cfg),
+                               in_channels=in_channels,
+                               num_classes=num_classes, dtype=dtype)
+    if name in ("transunet", "transunet_lidc"):
+        from hpfg_tpu.models.transunet import build_transunet
+
+        return build_transunet(name, img_size=_image_size(cfg),
+                               in_channels=in_channels,
+                               num_classes=num_classes, dtype=dtype)
+    if name in ("cmt", "cmt_plus"):
+        from hpfg_tpu.models.cmt import build_cmt
+
+        return build_cmt(name, img_size=_image_size(cfg),
+                         in_channels=in_channels,
+                         num_classes=num_classes, dtype=dtype)
+    if name == "uniformer_plus":
+        from hpfg_tpu.models.uniformer import UniformerPlus
+
+        return UniformerPlus(img_size=_image_size(cfg),
+                             in_channels=in_channels,
+                             num_classes=num_classes, dtype=dtype)
+    if name == "ssnet":
+        from hpfg_tpu.models.ssnet import SSNet
+
+        return SSNet(in_channels=in_channels, num_classes=num_classes,
+                     dtype=dtype)
+    if name == "swinmae":
+        from hpfg_tpu.models.swin_mae import SwinMAE
+
+        return SwinMAE(in_channels=in_channels,
+                       mask_ratio=float(cfg.get("mask_ratio", 0.75)),
+                       dtype=dtype)
+    raise NotImplementedError(f"unknown model {name!r}")

@@ -1,0 +1,161 @@
+"""UNet family (reference: model/unet.py, model/unet_large.py, model/unet_LIDC.py).
+
+Five-level UNet with channels [16, 32, 64, 128, 256], LeakyReLU + BatchNorm,
+encoder dropout schedule [0.05, 0.1, 0.2, 0.3, 0.5], bilinear(align_corners)
+decoder upsampling, 3x3 output head (reference: model/unet.py:155-175).
+
+`UNetPlus` adds the two DenseCL projection necks: one on the 256-channel
+bottleneck (hid 2048) and one on the logits head (hid 1024)
+(reference: model/unet.py:178-206); forward returns
+(logits, (g_high, d_high), (g_head, d_head)) and `.val` returns logits only.
+
+TPU-first: NHWC, bfloat16-capable compute dtype, all shapes static.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from hpfg_tpu.models.layers import ConvBlock, DownBlock, ProjectionNeck, UpBlock
+
+
+class UNetEncoder(nn.Module):
+    in_conv_features: int = 16
+    feature_chns: Sequence[int] = (16, 32, 64, 128, 256)
+    dropout: Sequence[float] = (0.05, 0.1, 0.2, 0.3, 0.5)
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert len(self.feature_chns) == 5
+        ft, dp = self.feature_chns, self.dropout
+        self.in_conv = ConvBlock(ft[0], dp[0], self.dtype)
+        self.down1 = DownBlock(ft[1], dp[1], self.dtype)
+        self.down2 = DownBlock(ft[2], dp[2], self.dtype)
+        self.down3 = DownBlock(ft[3], dp[3], self.dtype)
+        self.down4 = DownBlock(ft[4], dp[4], self.dtype)
+
+    def __call__(self, x: jnp.ndarray, train: bool) -> list[jnp.ndarray]:
+        x0 = self.in_conv(x, train)
+        x1 = self.down1(x0, train)
+        x2 = self.down2(x1, train)
+        x3 = self.down3(x2, train)
+        x4 = self.down4(x3, train)
+        return [x0, x1, x2, x3, x4]
+
+
+class UNetDecoder(nn.Module):
+    num_classes: int
+    feature_chns: Sequence[int] = (16, 32, 64, 128, 256)
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        ft = self.feature_chns
+        self.up1 = UpBlock(ft[3], ft[3], 0.0, self.dtype)
+        self.up2 = UpBlock(ft[2], ft[2], 0.0, self.dtype)
+        self.up3 = UpBlock(ft[1], ft[1], 0.0, self.dtype)
+        self.up4 = UpBlock(ft[0], ft[0], 0.0, self.dtype)
+        self.out_conv = nn.Conv(self.num_classes, (3, 3), padding="SAME",
+                                dtype=self.dtype)
+
+    def forward_feature(self, feature: list[jnp.ndarray], train: bool) -> jnp.ndarray:
+        x0, x1, x2, x3, x4 = feature
+        x = self.up1(x4, x3, train)
+        x = self.up2(x, x2, train)
+        x = self.up3(x, x1, train)
+        return self.up4(x, x0, train)
+
+    def __call__(self, feature: list[jnp.ndarray], train: bool) -> jnp.ndarray:
+        x = self.forward_feature(feature, train)
+        # logits in float32 for numerically stable losses
+        return self.out_conv(x).astype(jnp.float32)
+
+
+class UNet(nn.Module):
+    """Plain UNet: logits [B, H, W, C] (reference UNet, model/unet.py:155-175)."""
+
+    in_channels: int = 1
+    num_classes: int = 4
+    feature_chns: Sequence[int] = (16, 32, 64, 128, 256)
+    dropout: Sequence[float] = (0.05, 0.1, 0.2, 0.3, 0.5)
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = UNetEncoder(self.feature_chns[0], self.feature_chns,
+                                   self.dropout, self.dtype)
+        self.decoder = UNetDecoder(self.num_classes, self.feature_chns,
+                                   self.dtype)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        return self.decoder(self.encoder(x, train), train)
+
+    def val(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self(x, train=False)
+
+
+class UNetPlus(nn.Module):
+    """UNet + DenseCL projection necks (reference UNet_Plus, model/unet.py:178-206).
+
+    __call__ returns (logits, (g_high, d_high), (g_head, d_head)).
+    """
+
+    in_channels: int = 1
+    num_classes: int = 4
+    feature_chns: Sequence[int] = (16, 32, 64, 128, 256)
+    dropout: Sequence[float] = (0.05, 0.1, 0.2, 0.3, 0.5)
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = UNetEncoder(self.feature_chns[0], self.feature_chns,
+                                   self.dropout, self.dtype)
+        self.decoder = UNetDecoder(self.num_classes, self.feature_chns,
+                                   self.dtype)
+        self.dense_projection_high = ProjectionNeck(hid_dim=2048, out_dim=128,
+                                                    s=4, dtype=self.dtype)
+        self.dense_projection_head = ProjectionNeck(hid_dim=1024, out_dim=128,
+                                                    s=4, dtype=self.dtype)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        x = x.astype(self.dtype)
+        feature = self.encoder(x, train)
+        logits = self.decoder(feature, train)
+        high = self.dense_projection_high(feature[-1])
+        head = self.dense_projection_head(logits.astype(self.dtype))
+        return logits, high, head
+
+    def val(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        return self.decoder(self.encoder(x, False), False)
+
+
+class UNetLarge(nn.Module):
+    """Double-conv UNet with base_c channels and transposed-free bilinear
+    upsampling (reference UNet_Large, model/unet_large.py:62-97; base_c=32)."""
+
+    in_channels: int = 1
+    num_classes: int = 4
+    base_c: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.base_c
+        self.encoder = UNetEncoder(c, (c, c * 2, c * 4, c * 8, c * 16),
+                                   (0.0, 0.0, 0.0, 0.0, 0.0), self.dtype)
+        self.decoder = UNetDecoder(self.num_classes,
+                                   (c, c * 2, c * 4, c * 8, c * 16), self.dtype)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        return self.decoder(self.encoder(x, train), train)
+
+    def val(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self(x, train=False)
+
+
+class UNetLIDC(UNet):
+    """UNet sized for LIDC binary masks (reference UNet_LIDC,
+    model/unet_LIDC.py:131-155): same topology, in_channels=3, 1-class-style
+    binary head handled by num_classes."""
