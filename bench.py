@@ -1,0 +1,90 @@
+"""Benchmark: mean_teacher UNet 224x224 ACDC training throughput.
+
+Measures the BASELINE.md headline metric — labeled+unlabeled images/sec/chip
+for the mean-teacher UNet configuration (8 labeled + 24 unlabeled @ 224x224x1,
+reference config/mean_teacher_unet_30k_224x224_ACDC.yaml) — on the local
+accelerator, and prints ONE JSON line.
+
+vs_baseline: the reference publishes no numbers (BASELINE.json published:{}),
+so the denominator is the driver's north-star definition: 5x an estimated
+A100 reference throughput. The A100 estimate (800 img/s) assumes the PyTorch
+reference's fp32/TF32 single-GPU step (student fwd+bwd + teacher fwd on 32
+images, host-side data loading) — documented here so the number is auditable.
+vs_baseline = measured / (5 * 800) ⇒ 1.0 means the north star is met.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from hpfg_tpu.config import Config
+from hpfg_tpu.parallel.mesh import get_mesh, shard_batch
+from hpfg_tpu.train.algorithms import build_algorithm
+
+A100_REF_IMG_PER_SEC = 800.0  # estimated PyTorch reference on A100 (see docstring)
+NORTH_STAR = 5.0 * A100_REF_IMG_PER_SEC
+
+LABEL_BS = 8
+UNLABEL_BS = 24
+HW = 224
+WARMUP = 10
+ITERS = 50
+
+
+def main():
+    cfg = Config(
+        datasets="acdc", num_classes=4, in_channels=1,
+        train_crop_size=[HW, HW], test_crop_size=[HW, HW],
+        batch_size=LABEL_BS, unlabel_batch_size=UNLABEL_BS,
+        label_num=0.05, consistency=0.1, consistency_rampup=200.0,
+        ema_decay=0.99, model="unet", seed=1337,
+        total_itrs=30000, step_size=200,
+        opt="sgd", lr=0.01, weight_decay=1e-4, momentum=0.9,
+        sched="medical", warmup_epochs=0, warmup_lr=1e-4, min_lr=1e-6,
+    )
+    algo = build_algorithm("mean_teacher", cfg, dtype=jnp.bfloat16)
+    state = algo.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    mesh = get_mesh()
+    batch = shard_batch(mesh, {
+        "label_img": rng.normal(size=(LABEL_BS, HW, HW, 1)).astype(np.float32),
+        "label": rng.integers(0, 4, (LABEL_BS, HW, HW)).astype(np.int32),
+        "unlabel_img": rng.normal(
+            size=(UNLABEL_BS, HW, HW, 1)).astype(np.float32),
+    })
+
+    step = jax.jit(algo.step, donate_argnums=(0,))
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+
+    n_chips = len(jax.devices())
+    images_per_sec = ITERS * (LABEL_BS + UNLABEL_BS) / elapsed
+    per_chip = images_per_sec / n_chips
+    print(json.dumps({
+        "metric": "mean_teacher_unet_acdc_224_images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / NORTH_STAR, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -95,15 +95,18 @@ class BatchLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self._load_one, idxs))
-                    images = np.stack([s[0] for s in samples]).astype(np.float32)
-                    masks = np.stack([s[1] for s in samples]).astype(np.int32)
-                    q.put((images, masks))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self._load_one, idxs))
+                        images = np.stack([s[0] for s in samples]).astype(np.float32)
+                        masks = np.stack([s[1] for s in samples]).astype(np.int32)
+                        q.put((images, masks))
+                q.put(None)
+            except BaseException as exc:  # surface worker errors to consumer
+                q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -112,9 +115,14 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
+            # drain so a blocked producer can observe `stop`
+            while not q.empty():
+                q.get_nowait()
 
     def cycle(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """Eternal iteration (the reference's StopIteration-reinit labeled

@@ -47,9 +47,18 @@ def build_model(cfg, dtype=jnp.float32):
     in_channels = int(cfg.get("in_channels", 1))
     num_classes = int(cfg.get("num_classes", 4))
 
-    if name in ("unet", "unet_plus", "unet_large", "unet_lidc"):
+    if name in ("unet", "unet_plus", "unet_lidc"):
+        kwargs = {}
+        # test/bench hooks: scale the network down/up from config
+        if "feature_chns" in cfg:
+            kwargs["feature_chns"] = tuple(cfg.feature_chns)
+        if "dropout" in cfg and not isinstance(cfg.get("dropout"), (int, float)):
+            kwargs["dropout"] = tuple(cfg.dropout)
         return MODELS.get(name)(in_channels=in_channels,
-                                num_classes=num_classes, dtype=dtype)
+                                num_classes=num_classes, dtype=dtype, **kwargs)
+    if name == "unet_large":
+        return UNetLarge(in_channels=in_channels, num_classes=num_classes,
+                         dtype=dtype)
     if name in ("swinunet", "swinunet_plus", "swinunet_lidc"):
         from hpfg_tpu.models.swinunet import build_swinunet
 

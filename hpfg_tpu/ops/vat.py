@@ -1,0 +1,67 @@
+"""Virtual Adversarial Training (reference: utils/loss/vatloss.py:57-118).
+
+One power-iteration adversarial perturbation on the model INPUT:
+  * clean prediction (detached target)
+  * random unit direction d, refined ip times via the gradient of the soft
+    dice distance w.r.t. d (the reference zeroes the parameter grads this
+    produces, vatloss.py:84-85 — here the inner grad is taken w.r.t. d only
+    and wrapped in stop_gradient, same effect)
+  * LDS = soft dice between the clean prediction and the prediction at
+    x + epi * d — differentiable w.r.t. the model parameters.
+
+BN statistics are NOT tracked during the perturbed passes (the reference's
+`_disable_tracking_bn_stats`, vatloss.py:9-17): callers pass an apply_fn
+that uses the current batch statistics without mutating them.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _l2_normalize(d: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample L2 normalization over all non-batch dims
+    (reference vatloss.py:19-23)."""
+    flat = d.reshape(d.shape[0], -1)
+    norm = jnp.linalg.norm(flat, axis=1).reshape(
+        (-1,) + (1,) * (d.ndim - 1))
+    return d / (norm + 1e-8)
+
+
+def soft_dice_probs(probs: jnp.ndarray, target_probs: jnp.ndarray,
+                    smooth: float = 1e-10) -> jnp.ndarray:
+    """softDiceLoss over probability maps (reference vatloss.py:32-54):
+    per class global sums with sum(p^2)/sum(t^2) denominators."""
+    p = probs.astype(jnp.float32)
+    t = target_probs.astype(jnp.float32)
+    axes = tuple(range(p.ndim - 1))
+    intersect = jnp.sum(p * t, axis=axes)
+    z = jnp.sum(p * p, axis=axes)
+    y = jnp.sum(t * t, axis=axes)
+    dice = (2.0 * intersect + smooth) / (z + y + smooth)
+    return jnp.mean(1.0 - dice)
+
+
+def vat_loss(apply_fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
+             rng: jax.Array, xi: float = 10.0, epi: float = 6.0,
+             ip: int = 1) -> jnp.ndarray:
+    """apply_fn(x) -> logits [..., C]; must be differentiable w.r.t. its
+    input AND the parameters it closes over, with frozen BN statistics."""
+    pred = jax.lax.stop_gradient(jax.nn.softmax(apply_fn(x), axis=-1))
+
+    d = jax.random.uniform(rng, x.shape, jnp.float32) - 0.5
+    d = _l2_normalize(d)
+
+    def adv_distance(d_):
+        p_hat = jax.nn.softmax(apply_fn(x + xi * d_), axis=-1)
+        return soft_dice_probs(p_hat, pred)
+
+    for _ in range(ip):
+        grad_d = jax.grad(adv_distance)(d)
+        d = jax.lax.stop_gradient(_l2_normalize(grad_d))
+
+    p_hat = jax.nn.softmax(apply_fn(x + epi * d), axis=-1)
+    return soft_dice_probs(p_hat, pred)

@@ -1,0 +1,53 @@
+"""Generic training entry point.
+
+The reference hard-codes one config path per algorithm script
+(e.g. main.py:19); here every entry script is a thin wrapper over this
+runner, which reads the algorithm name from the config's ``algorithm:`` key
+(overridable) and accepts --config / --set CLI flags.
+
+Usage:
+    python scripts/run.py --config configs/hpfg_unet_plus_30k_224x224_ACDC.yaml
+    python scripts/run.py --config ... --set total_itrs=100 --set lr=0.02
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(default_config: str, algorithm: str | None = None, argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from hpfg_tpu.config import parse_config
+    from hpfg_tpu.train.algorithms import build_algorithm
+    from hpfg_tpu.train.trainer import Trainer
+
+    cfg = parse_config("hpfg_tpu trainer", default_config, argv)
+    algo_name = algorithm or cfg.get("algorithm")
+    if algo_name is None:
+        raise SystemExit("config must define `algorithm:` (or pass one)")
+    dtype = jnp.bfloat16 if str(cfg.get("precision", "bf16")) == "bf16" \
+        else jnp.float32
+    algo = build_algorithm(algo_name, cfg, dtype=dtype)
+    trainer = Trainer(cfg, algo)
+    state = trainer.init_state()
+    ckpt_tag = cfg.get("ckpt")
+    if ckpt_tag and str(ckpt_tag).lower() not in ("none", "null"):
+        state = trainer.resume(state, str(ckpt_tag))
+    trainer.fit(state)
+    return trainer
+
+
+if __name__ == "__main__":
+    run("configs/hpfg_unet_plus_30k_224x224_ACDC.yaml")

@@ -8,8 +8,12 @@ reruns are milliseconds).
 
 import os
 
-# Must happen before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The ambient environment pins JAX_PLATFORMS to the TPU plugin and pytest
+# plugins may import jax before this conftest runs, so env vars alone are not
+# enough — set the jax config directly (backends initialize lazily, so this
+# still takes effect). The single TPU chip stays free for bench/driver
+# processes while tests run on an 8-device virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,10 +21,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+assert not jax._src.xla_bridge._backends, \
+    "jax backends initialized before conftest could select CPU"
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# NOTE: no persistent compilation cache here — XLA:CPU AOT cache entries on
+# this image load with mismatched machine features and SIGILL. The TPU paths
+# (bench.py, __graft_entry__.py) keep their own cache.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
