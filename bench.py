@@ -67,13 +67,16 @@ def main():
     step = jax.jit(algo.step, donate_argnums=(0,))
     for _ in range(WARMUP):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    # force a real device→host readback: catches silently failing executions
+    warm_loss = float(np.asarray(metrics["loss"]))
+    assert np.isfinite(warm_loss), f"non-finite warmup loss {warm_loss}"
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(np.asarray(metrics["loss"]))  # sync + readback
     elapsed = time.perf_counter() - t0
+    assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
 
     n_chips = len(jax.devices())
     images_per_sec = ITERS * (LABEL_BS + UNLABEL_BS) / elapsed

@@ -19,7 +19,7 @@ import h5py
 import numpy as np
 
 from hpfg_tpu.data.loader import BatchLoader, VolumeLoader, random_split
-from hpfg_tpu.data.transforms import RandomGenerator
+from hpfg_tpu.data.transforms import RandomGenerator, ResizeOnly
 
 PALETTE = np.array([
     [0, 0, 0],
@@ -76,37 +76,41 @@ class ACDCDataset:
         return label_to_img(label, self.PALETTE)
 
 
+def _train_transform(crop, seed, device_augment):
+    return ResizeOnly(crop) if device_augment else RandomGenerator(crop, seed)
+
+
 def get_acdc_loader(root: str, batch_size: int = 4,
                     train_crop_size=(224, 224), seed: int = 0,
-                    num_threads: int = 8):
+                    num_threads: int = 8, device_augment: bool = False):
     """Supervised (train, test) loaders (reference get_acdc_loader,
     datasets/ACDC.py:85-107)."""
     train = ACDCDataset(root, split="train")
     test = ACDCDataset(root, split="test", cache=False)
-    train_loader = BatchLoader(train, batch_size,
-                               transform=RandomGenerator(train_crop_size, seed),
-                               shuffle=True, drop_last=True, seed=seed,
-                               num_threads=num_threads)
+    train_loader = BatchLoader(
+        train, batch_size,
+        transform=_train_transform(train_crop_size, seed, device_augment),
+        shuffle=True, drop_last=True, seed=seed, num_threads=num_threads)
     return train_loader, VolumeLoader(test)
 
 
 def get_ssl_acdc_loader(root: str, batch_size: int = 8,
                         unlabel_batch_size: int = 24,
                         train_crop_size=(224, 224), label_num: float = 0.2,
-                        seed: int = 0, num_threads: int = 8):
+                        seed: int = 0, num_threads: int = 8,
+                        device_augment: bool = False):
     """SSL (label, unlabel, test) loaders with a fraction-`label_num`
     random split (reference get_ssl_acdc_loader, datasets/ACDC.py:110-131)."""
     train = ACDCDataset(root, split="train")
     label_length = int(len(train) * label_num)
     train_label, train_unlabel = random_split(train, label_length, seed)
     test = ACDCDataset(root, split="test", cache=False)
-    label_loader = BatchLoader(train_label, batch_size,
-                               transform=RandomGenerator(train_crop_size, seed),
-                               shuffle=True, drop_last=True, seed=seed,
-                               num_threads=num_threads)
-    unlabel_loader = BatchLoader(train_unlabel, unlabel_batch_size,
-                                 transform=RandomGenerator(train_crop_size,
-                                                           seed + 1),
-                                 shuffle=True, drop_last=True, seed=seed + 1,
-                                 num_threads=num_threads)
+    label_loader = BatchLoader(
+        train_label, batch_size,
+        transform=_train_transform(train_crop_size, seed, device_augment),
+        shuffle=True, drop_last=True, seed=seed, num_threads=num_threads)
+    unlabel_loader = BatchLoader(
+        train_unlabel, unlabel_batch_size,
+        transform=_train_transform(train_crop_size, seed + 1, device_augment),
+        shuffle=True, drop_last=True, seed=seed + 1, num_threads=num_threads)
     return label_loader, unlabel_loader, VolumeLoader(test)

@@ -19,11 +19,15 @@ def build_loader(cfg, seed: int | None = None):
 
         return get_ssl_acdc_loader(cfg.data_path, cfg.batch_size,
                                    cfg.unlabel_batch_size, crop,
-                                   cfg.label_num, seed)
+                                   cfg.label_num, seed,
+                                   device_augment=bool(
+                                       cfg.get("device_augment", False)))
     if name == "sup_acdc":
         from hpfg_tpu.data.acdc import get_acdc_loader
 
-        return get_acdc_loader(cfg.data_path, cfg.batch_size, crop, seed)
+        return get_acdc_loader(cfg.data_path, cfg.batch_size, crop, seed,
+                               device_augment=bool(
+                                   cfg.get("device_augment", False)))
     if name == "lidc":
         from hpfg_tpu.data.lidc import get_ssl_lidc_loader
 

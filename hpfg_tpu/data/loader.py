@@ -144,3 +144,74 @@ class VolumeLoader:
     def __iter__(self):
         for i in range(len(self.source)):
             yield self.source.load(i)
+
+
+def patients_to_slices(dataset: str, patients_num) -> int:
+    """Patient-count → labeled-slice-count map (reference patients_to_slices,
+    datasets/utils.py:11-21)."""
+    if "ACDC" in dataset:
+        ref = {"3": 68, "7": 136, "14": 256, "21": 396, "28": 512,
+               "35": 664, "140": 1312}
+    else:  # the reference falls through to the Prostate table
+        ref = {"2": 27, "4": 53, "8": 120, "12": 179, "16": 256,
+               "21": 312, "42": 623}
+    return ref[str(patients_num)]
+
+
+class TwoStreamBatchLoader:
+    """Joint labeled+unlabeled batches from one source
+    (reference TwoStreamBatchSampler, datasets/utils.py:23-52: an 'epoch' is
+    one pass over the primary labeled indices while the secondary unlabeled
+    indices cycle eternally; each yielded batch is the concatenation).
+
+    Yields (images [P+S, H, W, C], masks [P+S, H, W], label_mask [P+S] bool)
+    where label_mask marks the primary (labeled) rows.
+    """
+
+    def __init__(self, source: SliceSource, primary_indices, secondary_indices,
+                 batch_size: int, secondary_batch_size: int,
+                 transform: Callable | None = None, seed: int = 0,
+                 num_threads: int = 8):
+        self.primary = list(primary_indices)
+        self.secondary = list(secondary_indices)
+        self.primary_bs = batch_size - secondary_batch_size
+        self.secondary_bs = secondary_batch_size
+        assert len(self.primary) >= self.primary_bs > 0
+        assert len(self.secondary) >= self.secondary_bs > 0
+        self.source = source
+        self.transform = transform
+        self.seed = seed
+        self.num_threads = num_threads
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.primary) // self.primary_bs
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        primary = rng.permutation(self.primary)
+
+        def eternal_secondary():
+            while True:
+                yield from rng.permutation(self.secondary)
+
+        sec = eternal_secondary()
+        with ThreadPoolExecutor(self.num_threads) as pool:
+            for i in range(len(self)):
+                p_idx = primary[i * self.primary_bs:(i + 1) * self.primary_bs]
+                s_idx = [next(sec) for _ in range(self.secondary_bs)]
+                idxs = list(p_idx) + list(s_idx)
+
+                def load(j):
+                    image, mask = self.source.load(int(j))
+                    if self.transform is not None:
+                        image, mask = self.transform(image, mask)
+                    return image, mask
+
+                samples = list(pool.map(load, idxs))
+                images = np.stack([s[0] for s in samples]).astype(np.float32)
+                masks = np.stack([s[1] for s in samples]).astype(np.int32)
+                label_mask = np.zeros(len(idxs), bool)
+                label_mask[:len(p_idx)] = True
+                yield images, masks, label_mask

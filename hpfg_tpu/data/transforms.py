@@ -58,3 +58,53 @@ class RandomGenerator:
         image = nearest_zoom(image, self.output_size).astype(np.float32)
         mask = nearest_zoom(mask, self.output_size).astype(np.uint8)
         return image[..., None], mask
+
+
+class ResizeOnly:
+    """Deterministic nearest resize for the on-device augmentation path
+    (geometry randomness then runs in ops/augment.py on TPU)."""
+
+    def __init__(self, output_size: tuple[int, int]):
+        self.output_size = tuple(output_size)
+
+    def __call__(self, image: np.ndarray, mask: np.ndarray):
+        image = nearest_zoom(image, self.output_size).astype(np.float32)
+        mask = nearest_zoom(mask, self.output_size).astype(np.uint8)
+        return image[..., None], mask
+
+
+def color_jitter_image(image: np.ndarray, rng: np.random.Generator,
+                       strength: float = 1.0) -> np.ndarray:
+    """Strong-branch color jitter (reference color_jitter,
+    datasets/utils.py:93-101: ColorJitter(0.8s, 0.8s, 0.8s, 0.2s))."""
+    img = image.astype(np.float32)
+    b = 0.8 * strength
+    img = img * rng.uniform(1 - b, 1 + b)
+    mean = img.mean()
+    img = (img - mean) * rng.uniform(1 - b, 1 + b) + mean
+    return np.clip(img, 0.0, 1.0)
+
+
+class WeakStrongAugment:
+    """Weak (rot/flip) + strong (color jitter) augmented views
+    (reference WeakStrongAugment, datasets/utils.py:120-153).
+
+    Returns dict(image, image_weak, image_strong, label_aug) like the
+    reference, with HWC float images.
+    """
+
+    def __init__(self, output_size: tuple[int, int], seed: int | None = None):
+        self.output_size = tuple(output_size)
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, image: np.ndarray, label: np.ndarray) -> dict:
+        image = nearest_zoom(image, self.output_size)
+        label = nearest_zoom(label, self.output_size)
+        image_weak, label = random_rot_flip(image, label, self.rng)
+        image_strong = color_jitter_image(image_weak, self.rng)
+        return {
+            "image": image.astype(np.float32)[..., None],
+            "image_weak": image_weak.astype(np.float32)[..., None],
+            "image_strong": image_strong.astype(np.float32)[..., None],
+            "label_aug": label.astype(np.uint8),
+        }

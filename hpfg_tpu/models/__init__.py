@@ -89,6 +89,19 @@ def build_model(cfg, dtype=jnp.float32):
         return UniformerPlus(img_size=_image_size(cfg),
                              in_channels=in_channels,
                              num_classes=num_classes, dtype=dtype)
+    if name in ("resunet", "resunet_plusplus", "resunetplusplus"):
+        # shipped-but-unregistered in the reference (model/resunet.py,
+        # model/resunet_plus.py); registered here for completeness
+        from hpfg_tpu.models.resunet import ResUNet, ResUNetPlusPlus
+
+        cls = ResUNet if name == "resunet" else ResUNetPlusPlus
+        return cls(in_channels=in_channels, num_classes=num_classes,
+                   dtype=dtype)
+    if name == "uctransnet":
+        from hpfg_tpu.models.uctransnet import UCTransNet
+
+        return UCTransNet(img_size=_image_size(cfg), in_channels=in_channels,
+                          num_classes=num_classes, dtype=dtype)
     if name == "ssnet":
         from hpfg_tpu.models.ssnet import SSNet
 

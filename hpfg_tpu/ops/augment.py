@@ -1,0 +1,109 @@
+"""On-device batched augmentation (TPU replacement for the host-side
+RandomGenerator, reference datasets/utils.py:99-117).
+
+The reference augments every sample on CPU worker processes with scipy
+(rot90/flip or ±20° nearest rotation, then nearest zoom). Here the loader only
+delivers fixed-size raw batches (one cached nearest resize per sample) and the
+random geometry runs as ONE jitted device program over the whole batch:
+
+  * with p=0.5: k·90° rotation + random axis flip,
+  * else with p=0.5: ±20° nearest-neighbor rotation about the center,
+  * else: identity
+
+— per sample, driven by a jax.random key. Rotation is a nearest-neighbor
+gather with a traced angle (static shapes); rot90/flip are lax.switch over
+four static layouts. Images and masks share the same geometry; masks stay
+integer (order-0 everywhere, matching the reference).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _rot90_k(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """jnp.rot90 with a traced k in 0..3 (H == W required)."""
+    return jax.lax.switch(k, [
+        lambda x: x,
+        lambda x: jnp.rot90(x, 1),
+        lambda x: jnp.rot90(x, 2),
+        lambda x: jnp.rot90(x, 3),
+    ], img)
+
+
+def _flip_axis(img: jnp.ndarray, axis: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.cond(axis == 0,
+                        lambda x: jnp.flip(x, axis=0),
+                        lambda x: jnp.flip(x, axis=1), img)
+
+
+def _rotate_nearest(img: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor rotation about the center, constant-0 fill
+    (scipy.ndimage.rotate(order=0, reshape=False) equivalent,
+    reference datasets/utils.py:86-90)."""
+    h, w = img.shape[0], img.shape[1]
+    theta = jnp.deg2rad(angle_deg.astype(jnp.float32))
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # inverse map: output (y, x) samples input (y', x')
+    src_y = cos * ys - sin * xs + cy
+    src_x = sin * ys + cos * xs + cx
+    yi = jnp.round(src_y).astype(jnp.int32)
+    xi = jnp.round(src_x).astype(jnp.int32)
+    valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    yi = jnp.clip(yi, 0, h - 1)
+    xi = jnp.clip(xi, 0, w - 1)
+    out = img[yi, xi]
+    mask = valid if img.ndim == 2 else valid[..., None]
+    return jnp.where(mask, out, jnp.zeros_like(out))
+
+
+def _augment_one(key: jax.Array, image: jnp.ndarray, mask: jnp.ndarray):
+    """image [H, W, C] float, mask [H, W] int — reference RandomGenerator
+    branch structure (datasets/utils.py:103-106)."""
+    k_p1, k_p2, k_rot, k_flip, k_angle = jax.random.split(key, 5)
+    p1 = jax.random.uniform(k_p1)
+    p2 = jax.random.uniform(k_p2)
+    k = jax.random.randint(k_rot, (), 0, 4)
+    axis = jax.random.randint(k_flip, (), 0, 2)
+    angle = jax.random.randint(k_angle, (), -20, 20)
+
+    def rot_flip(args):
+        img, msk = args
+        img = _flip_axis(_rot90_k(img, k), axis)
+        msk = _flip_axis(_rot90_k(msk, k), axis)
+        return img, msk
+
+    def maybe_rotate(args):
+        img, msk = args
+
+        def rotate(a):
+            i, m = a
+            return (_rotate_nearest(i, angle),
+                    _rotate_nearest(m, angle))
+
+        return jax.lax.cond(p2 > 0.5, rotate, lambda a: a, (img, msk))
+
+    return jax.lax.cond(p1 > 0.5, rot_flip, maybe_rotate, (image, mask))
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def batched_random_generator(rng: jax.Array, images: jnp.ndarray,
+                             masks: jnp.ndarray):
+    """images [B, H, W, C], masks [B, H, W] → augmented pair (one XLA call)."""
+    keys = jax.random.split(rng, images.shape[0])
+    return jax.vmap(_augment_one)(keys, images, masks)
+
+
+@jax.jit
+def batched_random_generator_images(rng: jax.Array, images: jnp.ndarray):
+    """Unlabeled stream: same geometry, image only."""
+    dummy = jnp.zeros(images.shape[:3], jnp.int32)
+    out, _ = jax.vmap(_augment_one)(
+        jax.random.split(rng, images.shape[0]), images, dummy)
+    return out

@@ -58,12 +58,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS) -> Any:
     """Device-put a pytree of host arrays with the leading axis sharded.
 
-    Leading dimensions must divide the mesh size; loaders guarantee this by
-    construction (drop_last batching, reference: datasets/ACDC.py:127-129).
+    Leaves whose leading dimension does not divide the mesh size are
+    replicated instead (tiny test/eval batches); training loaders produce
+    divisible batches by construction (drop_last batching, reference:
+    datasets/ACDC.py:127-129).
     """
+    n = mesh.devices.size
 
     def put(x):
         x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] % n != 0:
+            return jax.device_put(x, replicated(mesh))
         return jax.device_put(x, batch_sharding(mesh, x.ndim, axis_name))
 
     return jax.tree_util.tree_map(put, batch)

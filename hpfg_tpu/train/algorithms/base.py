@@ -30,6 +30,16 @@ def init_model(model, rng, sample_shape, train_shapes=None):
                       batch_stats=variables.get("batch_stats", {}))
 
 
+def tree_copy(tree):
+    """Fresh device buffers for every leaf.
+
+    EMA teachers start as copies of the student (reference deepcopy,
+    2017_03…py:55); distinct buffers are REQUIRED under donated jit steps —
+    aliased student/teacher leaves would be donated twice in one Execute().
+    """
+    return jax.tree_util.tree_map(jnp.copy, tree)
+
+
 def apply_train(model, mstate: ModelState, x, rng):
     """Train-mode forward with dropout rng + BN batch-stat update.
 

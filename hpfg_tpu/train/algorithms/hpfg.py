@@ -36,7 +36,7 @@ from hpfg_tpu.ops.losses import (
 )
 from hpfg_tpu.ops.rampup import linear_rampup
 from hpfg_tpu.train.algorithms import ALGORITHMS
-from hpfg_tpu.train.algorithms.base import apply_train, ssl_batches
+from hpfg_tpu.train.algorithms.base import apply_train, ssl_batches, tree_copy
 from hpfg_tpu.train.algorithms.dual import DualAlgorithm, TeacherDualState
 
 
@@ -51,7 +51,7 @@ class HPFG(DualAlgorithm):
         rng, init_rng = jax.random.split(rng)
         m1, m2 = self._init_pair(init_rng, self.label_bs + self.unlabel_bs)
         return TeacherDualState(step=jnp.zeros((), jnp.int32), rng=rng,
-                                model1=m1, model2=m2, ema=m2,
+                                model1=m1, model2=m2, ema=tree_copy(m2),
                                 opt_state1=self.tx1.init(m1.params),
                                 opt_state2=self.tx2.init(m2.params))
 

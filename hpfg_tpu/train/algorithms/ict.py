@@ -26,6 +26,7 @@ from hpfg_tpu.train.algorithms.base import (
     apply_train,
     init_model,
     ssl_batches,
+    tree_copy,
 )
 from hpfg_tpu.train.optim import build_optimizer
 
@@ -62,7 +63,7 @@ class ICTMedSeg(Algorithm):
             self.model, init_rng,
             self._sample_shape(self.label_bs + self.unlabel_bs // 2))
         return ICTState(step=jnp.zeros((), jnp.int32), rng=rng,
-                        model=mstate, ema=mstate,
+                        model=mstate, ema=tree_copy(mstate),
                         opt_state=self.tx.init(mstate.params))
 
     def step(self, state: ICTState, batch):

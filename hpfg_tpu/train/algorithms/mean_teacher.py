@@ -33,6 +33,7 @@ from hpfg_tpu.train.algorithms.base import (
     apply_train,
     init_model,
     ssl_batches,
+    tree_copy,
 )
 from hpfg_tpu.train.optim import build_optimizer
 
@@ -63,9 +64,10 @@ class MeanTeacher(Algorithm):
         rng, init_rng = jax.random.split(rng)
         mstate = init_model(self.model, init_rng,
                             self._sample_shape(self.label_bs + self.unlabel_bs))
-        # teacher starts as a copy of the student (deepcopy, 2017_03…py:55)
+        # teacher starts as a fresh-buffer copy of the student
+        # (reference deepcopy, 2017_03…py:55; see base.tree_copy)
         return MeanTeacherState(step=jnp.zeros((), jnp.int32), rng=rng,
-                                model=mstate, ema=mstate,
+                                model=mstate, ema=tree_copy(mstate),
                                 opt_state=self.tx.init(mstate.params))
 
     def step(self, state: MeanTeacherState, batch):

@@ -32,6 +32,7 @@ from hpfg_tpu.train.algorithms.base import (
     apply_train,
     init_model,
     ssl_batches,
+    tree_copy,
 )
 from hpfg_tpu.train.optim import build_optimizer
 
@@ -70,7 +71,7 @@ class UAMT(Algorithm):
         mstate = init_model(self.model, init_rng,
                             self._sample_shape(self.label_bs + self.unlabel_bs))
         return UAMTState(step=jnp.zeros((), jnp.int32), rng=rng,
-                         model=mstate, ema=mstate,
+                         model=mstate, ema=tree_copy(mstate),
                          opt_state=self.tx.init(mstate.params))
 
     def step(self, state: UAMTState, batch):

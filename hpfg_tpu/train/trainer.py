@@ -60,6 +60,8 @@ class Trainer:
         self._jit_step = jax.jit(self.algorithm.step, donate_argnums=(0,))
         self.best_dice: dict[str, float] = {}
         self.history: list[dict] = []
+        self.device_augment = bool(cfg.get("device_augment", False))
+        self._aug_rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 777)
 
     # ------------------------------------------------------------------
     def init_state(self, seed: int | None = None):
@@ -91,6 +93,8 @@ class Trainer:
                 images_per_step = sum(
                     v.shape[0] for k, v in batch.items() if "img" in k or k == "image")
             batch = shard_batch(self.mesh, batch)
+            if self.device_augment:
+                batch = self._augment(batch)
             state, metrics = self._jit_step(state, batch)
             cur += 1
             pending_metrics.append((cur, metrics))
@@ -118,6 +122,32 @@ class Trainer:
         self.logger.info("done: %d iters in %.1fs (%.2f it/s)",
                          cur, elapsed, cur / max(elapsed, 1e-9))
         return state
+
+    # ------------------------------------------------------------------
+    def _augment(self, batch: dict) -> dict:
+        """On-device geometric augmentation of the raw resized batch
+        (ops/augment.py; replaces host RandomGenerator when
+        cfg.device_augment is set)."""
+        from hpfg_tpu.ops.augment import (
+            batched_random_generator,
+            batched_random_generator_images,
+        )
+
+        self._aug_rng, k1, k2, k3 = jax.random.split(self._aug_rng, 4)
+        out = dict(batch)
+        if "image" in batch and "label" in batch:
+            out["image"], out["label"] = batched_random_generator(
+                k1, batch["image"], batch["label"])
+        if "label_img" in batch:
+            out["label_img"], out["label"] = batched_random_generator(
+                k1, batch["label_img"], batch["label"])
+        if "label_img1" in batch:
+            out["label_img1"], out["label1"] = batched_random_generator(
+                k2, batch["label_img1"], batch["label1"])
+        if "unlabel_img" in batch:
+            out["unlabel_img"] = batched_random_generator_images(
+                k3, batch["unlabel_img"])
+        return out
 
     # ------------------------------------------------------------------
     def evaluate(self, state, cur_itrs: int) -> dict[str, tuple[float, float]]:

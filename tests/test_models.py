@@ -1,0 +1,137 @@
+"""Model zoo golden-shape tests.
+
+Heavy transformer compiles are expensive on this host, so each model runs
+once at a small input; output contracts (shapes, tuple structure, val method)
+are what's under test. 224-scale configs are covered by the TPU-side bench
+and graft entry.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpfg_tpu.config import Config
+from hpfg_tpu.models import build_model
+
+RNGS = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+        "mask": jax.random.PRNGKey(2)}
+
+
+def _init_apply(model, x, train=False):
+    variables = model.init(RNGS, x, train=train)
+    rngs = {"dropout": jax.random.PRNGKey(3), "mask": jax.random.PRNGKey(4)}
+    if train:
+        out = model.apply(variables, x, train=True, rngs=rngs,
+                          mutable=["batch_stats"])[0]
+    else:
+        out = model.apply(variables, x, train=False)
+    return variables, out
+
+
+class TestUNetFamily:
+    def test_unet_shapes(self):
+        cfg = Config(model="unet", in_channels=1, num_classes=4,
+                     feature_chns=[4, 8, 16, 32, 64])
+        m = build_model(cfg)
+        x = jnp.zeros((2, 32, 32, 1))
+        _, out = _init_apply(m, x)
+        assert out.shape == (2, 32, 32, 4)
+        assert out.dtype == jnp.float32
+
+    def test_unet_plus_contract(self):
+        cfg = Config(model="unet_plus", in_channels=1, num_classes=4,
+                     feature_chns=[4, 8, 16, 32, 64])
+        m = build_model(cfg)
+        x = jnp.zeros((2, 32, 32, 1))
+        variables, out = _init_apply(m, x)
+        logits, high, head = out
+        assert logits.shape == (2, 32, 32, 4)
+        assert high[0].shape == (2, 128) and high[1].shape == (2, 16, 128)
+        assert head[0].shape == (2, 128) and head[1].shape == (2, 16, 128)
+        val = m.apply(variables, x, method=m.val)
+        assert val.shape == (2, 32, 32, 4)
+
+    def test_param_structure_has_encoder_decoder(self):
+        """HPFG's backbone EMA requires top-level encoder/decoder keys
+        (reference main.py:68-76)."""
+        cfg = Config(model="unet_plus", in_channels=1, num_classes=4,
+                     feature_chns=[4, 8, 16, 32, 64])
+        m = build_model(cfg)
+        variables = m.init(RNGS, jnp.zeros((1, 32, 32, 1)), train=False)
+        keys = set(variables["params"].keys())
+        assert {"encoder", "decoder", "dense_projection_high",
+                "dense_projection_head"} <= keys
+
+    def test_full_size_unet_param_count(self):
+        """Reference UNet channel plan [16,32,64,128,256] ≈ 1.8M params."""
+        cfg = Config(model="unet", in_channels=1, num_classes=4)
+        m = build_model(cfg)
+        variables = m.init(RNGS, jnp.zeros((1, 32, 32, 1)), train=False)
+        n = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
+        assert 1.5e6 < n < 2.5e6
+
+
+class TestSSNet:
+    def test_outputs_and_heads(self):
+        cfg = Config(model="ssnet", in_channels=1, num_classes=4,
+                     feature_chns=[4, 8, 16, 32, 64])
+        from hpfg_tpu.models.ssnet import SSNet
+
+        m = SSNet(in_channels=1, num_classes=4,
+                  feature_chns=(4, 8, 16, 32, 64))
+        x = jnp.zeros((2, 32, 32, 1))
+        variables, (logits, feat) = _init_apply(m, x)
+        assert logits.shape == (2, 32, 32, 4)
+        assert feat.shape == (2, 32, 32, 4)  # first feature channel count
+        rows = jnp.zeros((7, 4))
+        proj = m.apply(variables, rows, train=False, method=m.project)
+        assert proj.shape == (7, 32)
+        pred = m.apply(variables, proj, train=False, method=m.predict)
+        assert pred.shape == (7, 32)
+        sel = m.apply(variables, 0, pred, train=False, method=m.select)
+        assert sel.shape == (7, 1)
+
+
+class TestSwinMAE:
+    def test_reconstruction_and_mask(self):
+        from hpfg_tpu.models.swin_mae import SwinMAE
+
+        m = SwinMAE(in_channels=1, img_size=32, window_size=2,
+                    mask_ratio=0.75, embed_dim=8, decoder_embed_dim=64,
+                    num_heads=(1, 2, 4, 8))
+        x = jnp.ones((2, 32, 32, 1))
+        variables = m.init(RNGS, x, train=True)
+        pred, mask = m.apply(variables, x, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(3),
+                                   "mask": jax.random.PRNGKey(4)})
+        assert pred.shape == x.shape and mask.shape == x.shape
+        # 8x8 patch grid, 2x2 mask windows → 4 windows kept of 16
+        ratio = float(np.asarray(mask).mean())
+        assert ratio == pytest.approx(0.75, abs=0.01)
+
+    def test_patchify_roundtrip(self):
+        from hpfg_tpu.models.swin_mae import SwinMAE
+
+        m = SwinMAE(in_channels=1, img_size=32)
+        x = jnp.arange(2 * 32 * 32, dtype=jnp.float32).reshape(2, 32, 32, 1)
+        m_bound = m.bind(m.init(RNGS, jnp.zeros((1, 224, 224, 1))[:, :32, :32],
+                                train=False))
+        np.testing.assert_allclose(
+            np.asarray(m_bound.unpatchify(m_bound.patchify(x))),
+            np.asarray(x))
+
+
+@pytest.mark.parametrize("name,size,chans", [
+    ("segformer", 32, 3),
+    ("resunet", 32, 3),
+    ("resunet_plusplus", 32, 3),
+])
+class TestSmallZoo:
+    def test_forward(self, name, size, chans):
+        cfg = Config(model=name, in_channels=chans, num_classes=2,
+                     train_crop_size=[size, size])
+        m = build_model(cfg)
+        x = jnp.zeros((1, size, size, chans))
+        _, out = _init_apply(m, x)
+        assert out.shape == (1, size, size, 2)
