@@ -18,6 +18,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Normalization compute dtype. float32 is the safe default; setting this to
+# bfloat16 halves the activation traffic around every BatchNorm (the train
+# step is HBM-bandwidth-bound, see bench notes) — statistics still accumulate
+# in float32 inside the XLA reduction.
+NORM_DTYPE = jnp.float32
+
+
+def set_norm_dtype(dtype) -> None:
+    global NORM_DTYPE
+    NORM_DTYPE = dtype
+
+
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.01) -> jnp.ndarray:
     """torch nn.LeakyReLU default slope is 0.01."""
     return jax.nn.leaky_relu(x, negative_slope)
@@ -99,13 +111,13 @@ class ConvBlock(nn.Module):
         x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
                     name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+                         epsilon=1e-5, dtype=NORM_DTYPE, name="bn1")(x)
         x = leaky_relu(x)
         x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
         x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
                     name="conv2")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn2")(x)
+                         epsilon=1e-5, dtype=NORM_DTYPE, name="bn2")(x)
         x = leaky_relu(x)
         return x.astype(self.dtype)
 

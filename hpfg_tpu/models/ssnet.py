@@ -100,6 +100,20 @@ class SSNet(nn.Module):
     def val(self, x):
         return self(x, train=False)[0]
 
+    def init_all(self, x, train: bool = True):
+        """Initialization entry point that touches EVERY submodule — flax
+        lazy-creates parameters per method, and the projection/prediction/
+        selector heads are only reached through their own methods during
+        training (reference heads: ss_net.py:129-158)."""
+        logits, feat = self(x, train=train)
+        rows = feat.reshape(-1, feat.shape[-1])[:2]
+        p = self.project(rows, train)
+        q = self.predict(p, train)
+        for c in range(self.num_classes):
+            self.select(c, q, train)
+            self.select_memory(c, q, train)
+        return logits, feat
+
     # --- heads as callable methods (reference forward_projection_head etc.)
     def project(self, features, train: bool = False):
         return self.projection_head(features.astype(self.dtype), train)

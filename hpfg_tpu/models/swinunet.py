@@ -86,6 +86,7 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -110,26 +111,44 @@ class WindowAttention(nn.Module):
         windows = window_partition(x.astype(self.dtype), ws)  # [Bn, L, C]
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
                        dtype=self.dtype, name="qkv")(windows)
-        qkv = qkv.reshape(-1, ws * ws, 3, self.num_heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
-        attn = jnp.einsum("bhld,bhmd->bhlm", q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = attn + rel_bias[None]
+        # fused Pallas path: attention dropout is 0/eval-only compatible
+        if self.use_pallas and (self.attn_drop == 0.0 or not train):
+            from hpfg_tpu.ops.pallas.window_attention import window_attention
 
-        if shift:
-            smask = jnp.asarray(_shift_attention_mask(h, w, ws, shift))
-            nw = smask.shape[0]
-            attn = attn.reshape(-1, nw, self.num_heads, ws * ws, ws * ws)
-            attn = attn + smask[None, :, None]
-            attn = attn.reshape(-1, self.num_heads, ws * ws, ws * ws)
+            l = ws * ws
+            qq = qkv[..., :self.dim]
+            kk = qkv[..., self.dim:2 * self.dim]
+            vv = qkv[..., 2 * self.dim:]
+            if shift:
+                smask = jnp.asarray(_shift_attention_mask(h, w, ws, shift))
+                mask = jnp.tile(smask, (b, 1, 1))
+            else:
+                mask = jnp.zeros((qq.shape[0], l, l), jnp.float32)
+            out = window_attention(qq, kk, vv, rel_bias, mask,
+                                   heads=self.num_heads)
+        else:
+            qkv = qkv.reshape(-1, ws * ws, 3, self.num_heads, head_dim)
+            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+            attn = jnp.einsum("bhld,bhmd->bhlm", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn + rel_bias[None]
 
-        out = jnp.einsum("bhlm,bhmd->bhld", attn.astype(self.dtype), v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, self.dim)
+            if shift:
+                smask = jnp.asarray(_shift_attention_mask(h, w, ws, shift))
+                nw = smask.shape[0]
+                attn = attn.reshape(-1, nw, self.num_heads, ws * ws, ws * ws)
+                attn = attn + smask[None, :, None]
+                attn = attn.reshape(-1, self.num_heads, ws * ws, ws * ws)
+
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+
+            out = jnp.einsum(
+                "bhlm,bhmd->bhld", attn.astype(self.dtype), v,
+                preferred_element_type=jnp.float32).astype(self.dtype)
+            out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, self.dim)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
@@ -168,6 +187,7 @@ class SwinBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -175,7 +195,8 @@ class SwinBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         y = WindowAttention(self.dim, self.window_size, self.num_heads,
                             self.shift, self.qkv_bias, self.attn_drop,
-                            self.drop, self.dtype, name="attn")(y, train)
+                            self.drop, self.use_pallas, self.dtype,
+                            name="attn")(y, train)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, train)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
@@ -283,6 +304,7 @@ class SwinStage(nn.Module):
     attn_drop_rate: float
     drop_path: float
     patch_merging: bool
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -294,7 +316,8 @@ class SwinStage(nn.Module):
                           shift=(i % 2 == 1), mlp_ratio=self.mlp_ratio,
                           qkv_bias=self.qkv_bias, drop=self.drop_rate,
                           attn_drop=self.attn_drop_rate,
-                          drop_path=float(rates[i]), dtype=self.dtype,
+                          drop_path=float(rates[i]),
+                          use_pallas=self.use_pallas, dtype=self.dtype,
                           name=f"block{i}")(x, train)
         if self.patch_merging:
             x = PatchMergingExact(dim, self.dtype, name="downsample")(x)
@@ -316,6 +339,7 @@ class SwinStageUp(nn.Module):
     attn_drop_rate: float
     drop_path: float
     patch_expanding: bool
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -328,7 +352,8 @@ class SwinStageUp(nn.Module):
                           shift=(i % 2 == 1), mlp_ratio=self.mlp_ratio,
                           qkv_bias=self.qkv_bias, drop=self.drop_rate,
                           attn_drop=self.attn_drop_rate,
-                          drop_path=float(rates[i]), dtype=self.dtype,
+                          drop_path=float(rates[i]),
+                          use_pallas=self.use_pallas, dtype=self.dtype,
                           name=f"block{i}")(x, train)
         if self.patch_expanding:
             x = PatchExpanding(dim, self.dtype, name="upsample")(x)
@@ -346,6 +371,7 @@ class SwinUNetEncoder(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -362,7 +388,8 @@ class SwinUNetEncoder(nn.Module):
                           self.num_heads, self.mlp_ratio, self.qkv_bias,
                           self.drop_rate, self.attn_drop_rate,
                           self.drop_path_rate, patch_merging=(i != n - 1),
-                          dtype=self.dtype, name=f"layer{i}")(x, train)
+                          use_pallas=self.use_pallas, dtype=self.dtype,
+                          name=f"layer{i}")(x, train)
         feats.append(x)
         return feats
 
@@ -379,6 +406,7 @@ class SwinUNetDecoder(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     patch_size: int = 4
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -395,7 +423,8 @@ class SwinUNetDecoder(nn.Module):
                             self.num_heads, self.mlp_ratio, self.qkv_bias,
                             self.drop_rate, self.attn_drop_rate,
                             self.drop_path_rate,
-                            patch_expanding=(i < n - 2), dtype=self.dtype,
+                            patch_expanding=(i < n - 2),
+                            use_pallas=self.use_pallas, dtype=self.dtype,
                             name=f"layer_up{i}")(x, train)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm_up")(x)
         x = FinalPatchExpanding(self.embed_dim, self.patch_size, self.dtype,
@@ -418,6 +447,7 @@ class SwinUNet(nn.Module):
     drop_rate: float = 0.1
     attn_drop_rate: float = 0.1
     drop_path_rate: float = 0.2
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -426,7 +456,8 @@ class SwinUNet(nn.Module):
                   num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                   qkv_bias=self.qkv_bias, drop_rate=self.drop_rate,
                   attn_drop_rate=self.attn_drop_rate,
-                  drop_path_rate=self.drop_path_rate, dtype=self.dtype)
+                  drop_path_rate=self.drop_path_rate,
+                  use_pallas=self.use_pallas, dtype=self.dtype)
         self.encoder = SwinUNetEncoder(**kw)
         self.decoder = SwinUNetDecoder(num_classes=self.num_classes, **kw)
 
@@ -482,5 +513,7 @@ def build_swinunet(name: str, img_size: int, in_channels: int,
     else:
         raise NotImplementedError(f"img_size {img_size}")
     cls = SwinUNetPlus if name.endswith("plus") else SwinUNet
+    use_pallas = jax.default_backend() not in ("cpu",)
     return cls(in_channels=in_channels, num_classes=num_classes,
-               patch_size=patch_size, window_size=window_size, dtype=dtype)
+               patch_size=patch_size, window_size=window_size,
+               use_pallas=use_pallas, dtype=dtype)

@@ -73,9 +73,16 @@ class SSNetAlgorithm(Algorithm):
         self.feat_dim = int(cfg.get("feat_dim", 32))
 
     def init_state(self, rng) -> SSNetState:
-        rng, init_rng = jax.random.split(rng)
-        mstate = init_model(self.model, init_rng,
-                            self._sample_shape(self.label_bs + self.unlabel_bs))
+        rng, p_rng, d_rng = jax.random.split(rng, 3)
+        dummy = jnp.zeros(
+            self._sample_shape(self.label_bs + self.unlabel_bs), jnp.float32)
+        variables = self.model.init({"params": p_rng, "dropout": d_rng},
+                                    dummy, train=True,
+                                    method=self.model.init_all)
+        from hpfg_tpu.train.algorithms.base import ModelState as _MS
+
+        mstate = _MS(params=variables["params"],
+                     batch_stats=variables.get("batch_stats", {}))
         c, k, f = self.num_classes, self.elements_per_class, self.feat_dim
         return SSNetState(step=jnp.zeros((), jnp.int32), rng=rng,
                           model=mstate, opt_state=self.tx.init(mstate.params),

@@ -158,9 +158,10 @@ class Trainer:
             dsname = str(self.cfg.datasets).lower()
             if dsname in VOLUME_DATASETS:
                 order = 3 if "synapse" in dsname else 0
-                dice, hd95, per_class, _ = evaluate_volumes(
+                dice, hd95, per_class, first = evaluate_volumes(
                     fwd, variables, self.test_loader, self.num_classes,
                     self.test_crop, zoom_order=order)
+                self._log_panels(name, first, cur_itrs)
             else:
                 dice, hd95, *_ = evaluate_images(fwd, variables,
                                                  self.test_loader)
@@ -176,6 +177,30 @@ class Trainer:
                 self.ckpt.save(f"best_{name}", state)
         self.history.append({"iter": cur_itrs, "results": results})
         return results
+
+    def _log_panels(self, name: str, first, cur_itrs: int) -> None:
+        """First-volume image / prediction / ground-truth palette panels
+        (reference: main.py:309-325, val.py:170-185)."""
+        if first is None or self._writer_disabled():
+            return
+        image, label, pred = first
+        dataset = getattr(self.test_loader, "source", None)
+        to_img = getattr(dataset, "label_to_img", None)
+        if to_img is None:
+            return
+        mid = image.shape[0] // 2
+        img = image[mid]
+        img = (img - img.min()) / max(img.max() - img.min(), 1e-6)
+        self.writer.add_image(f"{name}/Image",
+                              (img[..., None] * 255).astype(np.uint8),
+                              cur_itrs)
+        self.writer.add_image(f"{name}/label_pred", to_img(pred[mid]),
+                              cur_itrs)
+        self.writer.add_image(f"{name}/label_true", to_img(label[mid]),
+                              cur_itrs)
+
+    def _writer_disabled(self) -> bool:
+        return getattr(self.writer, "_writer", None) is None
 
     def _slice_forward(self, model) -> SliceForward:
         if not hasattr(self, "_fwd_cache"):

@@ -81,7 +81,8 @@ class TestSSNet:
         m = SSNet(in_channels=1, num_classes=4,
                   feature_chns=(4, 8, 16, 32, 64))
         x = jnp.zeros((2, 32, 32, 1))
-        variables, (logits, feat) = _init_apply(m, x)
+        variables = m.init(RNGS, x, train=False, method=m.init_all)
+        logits, feat = m.apply(variables, x, train=False)
         assert logits.shape == (2, 32, 32, 4)
         assert feat.shape == (2, 32, 32, 4)  # first feature channel count
         rows = jnp.zeros((7, 4))
@@ -97,25 +98,27 @@ class TestSwinMAE:
     def test_reconstruction_and_mask(self):
         from hpfg_tpu.models.swin_mae import SwinMAE
 
-        m = SwinMAE(in_channels=1, img_size=32, window_size=2,
+        # geometry: patch 4 → grid 16; stages 16/8/4/2 with window 2
+        m = SwinMAE(in_channels=1, img_size=64, window_size=2,
                     mask_ratio=0.75, embed_dim=8, decoder_embed_dim=64,
                     num_heads=(1, 2, 4, 8))
-        x = jnp.ones((2, 32, 32, 1))
+        x = jnp.ones((2, 64, 64, 1))
         variables = m.init(RNGS, x, train=True)
         pred, mask = m.apply(variables, x, train=True,
                              rngs={"dropout": jax.random.PRNGKey(3),
                                    "mask": jax.random.PRNGKey(4)})
         assert pred.shape == x.shape and mask.shape == x.shape
-        # 8x8 patch grid, 2x2 mask windows → 4 windows kept of 16
+        # 16x16 patch grid, 4x4 mask windows → 4 of 16 windows kept
         ratio = float(np.asarray(mask).mean())
         assert ratio == pytest.approx(0.75, abs=0.01)
 
     def test_patchify_roundtrip(self):
         from hpfg_tpu.models.swin_mae import SwinMAE
 
-        m = SwinMAE(in_channels=1, img_size=32)
-        x = jnp.arange(2 * 32 * 32, dtype=jnp.float32).reshape(2, 32, 32, 1)
-        m_bound = m.bind(m.init(RNGS, jnp.zeros((1, 224, 224, 1))[:, :32, :32],
+        m = SwinMAE(in_channels=1, img_size=64, window_size=2, embed_dim=8,
+                    decoder_embed_dim=64, num_heads=(1, 2, 4, 8))
+        x = jnp.arange(2 * 64 * 64, dtype=jnp.float32).reshape(2, 64, 64, 1)
+        m_bound = m.bind(m.init(RNGS, jnp.zeros((1, 64, 64, 1)),
                                 train=False))
         np.testing.assert_allclose(
             np.asarray(m_bound.unpatchify(m_bound.patchify(x))),

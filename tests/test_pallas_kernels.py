@@ -1,0 +1,78 @@
+"""Pallas TPU kernel correctness (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hpfg_tpu.ops.pallas.window_attention import (
+    window_attention,
+    window_attention_reference,
+)
+
+
+class TestWindowAttention:
+    def _data(self, bn=6, l=9, heads=2, head_dim=4, seed=0):
+        rng = np.random.default_rng(seed)
+        c = heads * head_dim
+        q = rng.normal(size=(bn, l, c)).astype(np.float32)
+        k = rng.normal(size=(bn, l, c)).astype(np.float32)
+        v = rng.normal(size=(bn, l, c)).astype(np.float32)
+        bias = rng.normal(size=(heads, l, l)).astype(np.float32)
+        mask = np.where(rng.random((bn, l, l)) > 0.8, -100.0, 0.0
+                        ).astype(np.float32)
+        return map(jnp.asarray, (q, k, v, bias, mask))
+
+    def test_matches_reference_no_mask(self):
+        q, k, v, bias, _ = self._data()
+        zero_mask = jnp.zeros((q.shape[0], q.shape[1], q.shape[1]))
+        got = window_attention(q, k, v, bias, zero_mask, heads=2,
+                               interpret=True)
+        want = window_attention_reference(q, k, v, bias, zero_mask, heads=2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_matches_reference_with_mask(self):
+        q, k, v, bias, mask = self._data(seed=1)
+        got = window_attention(q, k, v, bias, mask, heads=2, interpret=True)
+        want = window_attention_reference(q, k, v, bias, mask, heads=2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_padding_path(self):
+        """Bn not a multiple of the window block still returns exact rows."""
+        q, k, v, bias, mask = self._data(bn=19, seed=2)
+        got = window_attention(q, k, v, bias, mask, heads=2, interpret=True)
+        want = window_attention_reference(q, k, v, bias, mask, heads=2)
+        assert got.shape == want.shape == (19, 9, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_swin_model_pallas_flag_matches_jnp(self):
+        """SwinUNet with use_pallas (interpret via CPU default backend is
+        skipped — flag off on CPU); here directly compare the attention
+        module's two paths."""
+        from hpfg_tpu.models.swinunet import WindowAttention
+
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 6, 6, 8)).astype(np.float32))
+        rngs = {"params": jax.random.PRNGKey(0)}
+        mod_ref = WindowAttention(dim=8, window_size=3, num_heads=2,
+                                  shift=True, use_pallas=False)
+        variables = mod_ref.init(rngs, x, train=False)
+        out_ref = mod_ref.apply(variables, x, train=False)
+
+        import importlib
+
+        # the package __init__ re-exports the function under the same name,
+        # shadowing the submodule attribute — resolve the real module
+        wa = importlib.import_module("hpfg_tpu.ops.pallas.window_attention")
+        orig = wa.window_attention
+        wa.window_attention = lambda *a, **k: orig(*a, interpret=True, **k)
+        try:
+            mod_pl = WindowAttention(dim=8, window_size=3, num_heads=2,
+                                     shift=True, use_pallas=True)
+            out_pl = mod_pl.apply(variables, x, train=False)
+        finally:
+            wa.window_attention = orig
+        np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
+                                   rtol=2e-4, atol=2e-5)
