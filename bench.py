@@ -6,11 +6,17 @@ reference config/mean_teacher_unet_30k_224x224_ACDC.yaml) — on the local
 accelerator, and prints ONE JSON line.
 
 vs_baseline: the reference publishes no numbers (BASELINE.json published:{}),
-so the denominator is the driver's north-star definition: 5x an estimated
-A100 reference throughput. The A100 estimate (800 img/s) assumes the PyTorch
-reference's fp32/TF32 single-GPU step (student fwd+bwd + teacher fwd on 32
-images, host-side data loading) — documented here so the number is auditable.
-vs_baseline = measured / (5 * 800) ⇒ 1.0 means the north star is met.
+so the denominator is an estimated A100 reference throughput of 800 img/s
+(PyTorch fp32/TF32 single-GPU step: student fwd+bwd + teacher fwd on 32
+images, host-side data loading) — documented so the ratio is auditable.
+vs_baseline = measured / 800; the driver's north star is vs_baseline ≥ 5.
+
+Measurement notes (see CLAUDE.md): this dev environment reaches the TPU via
+a tunnel whose per-Execute overhead is ≈55 ms, which dominates the canonical
+8+24 batch (69 ms/iter total; measured pure-compute from batch-scaling is
+≈14 ms/iter ⇒ ≈2300 img/s ≈ 2.9x the A100 estimate on a real host). The
+canonical-batch, readback-verified number is reported — no overhead
+subtraction, no batch inflation.
 """
 
 import json
@@ -32,7 +38,6 @@ from hpfg_tpu.parallel.mesh import get_mesh, shard_batch
 from hpfg_tpu.train.algorithms import build_algorithm
 
 A100_REF_IMG_PER_SEC = 800.0  # estimated PyTorch reference on A100 (see docstring)
-NORTH_STAR = 5.0 * A100_REF_IMG_PER_SEC
 
 LABEL_BS = 8
 UNLABEL_BS = 24
@@ -85,7 +90,7 @@ def main():
         "metric": "mean_teacher_unet_acdc_224_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(per_chip / NORTH_STAR, 4),
+        "vs_baseline": round(per_chip / A100_REF_IMG_PER_SEC, 4),
     }))
 
 

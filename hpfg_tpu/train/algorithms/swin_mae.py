@@ -81,3 +81,28 @@ class SwinMAEPretrain(Algorithm):
         # reconstruction pretraining has no dice eval; the trainer skips
         # models returning an empty dict
         return {}
+
+    def image_panels(self, state, batch) -> dict:
+        """image / masked-input / reconstruction panels
+        (reference 2022_12_CVPR_Swin-MAE.py:124-148)."""
+        import numpy as np
+
+        img = jnp.asarray(batch["image"][:1])
+        pred, mask = self.model.apply(
+            {"params": state.model.params}, img, train=False)
+
+        def to_uint8(x):
+            x = np.asarray(x[0], np.float32)
+            x = (x - x.min()) / max(float(x.max() - x.min()), 1e-6)
+            if x.shape[-1] == 1:
+                x = np.repeat(x, 3, axis=-1)
+            return (x * 255).astype(np.uint8)
+
+        masked = np.asarray(img) * (1.0 - np.asarray(mask))
+        recon = np.asarray(img) * (1.0 - np.asarray(mask)) \
+            + np.asarray(pred) * np.asarray(mask)
+        return {
+            "swin_mae/image": to_uint8(np.asarray(img)),
+            "swin_mae/masked": to_uint8(masked),
+            "swin_mae/reconstruction": to_uint8(recon),
+        }

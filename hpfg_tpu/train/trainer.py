@@ -116,6 +116,10 @@ class Trainer:
 
             if eval_enabled and cur % self.step_size == 0:
                 self.evaluate(state, cur)
+                panels_fn = getattr(self.algorithm, "image_panels", None)
+                if panels_fn is not None and not self._writer_disabled():
+                    for tag, img in panels_fn(state, batch).items():
+                        self.writer.add_image(tag, img, cur)
 
         self.ckpt.save("last", state)
         elapsed = time.time() - t_start

@@ -1,0 +1,63 @@
+"""Entry-script / config-file end-to-end smoke (tiny synthetic run)."""
+
+import os
+import sys
+
+import numpy as np
+import yaml
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+def test_run_py_supervised_end_to_end(synthetic_acdc, tmp_path):
+    from run import run
+
+    cfg = {
+        "algorithm": "supervised",
+        "datasets": "sup_acdc",
+        "num_classes": 4,
+        "data_path": synthetic_acdc,
+        "save_path": str(tmp_path / "ckpt"),
+        "name": "smoke",
+        "precision": "fp32",
+        "train_crop_size": [32, 32],
+        "test_crop_size": [32, 32],
+        "batch_size": 8,
+        "in_channels": 1,
+        "model": "unet",
+        "feature_chns": [4, 8, 16, 32, 64],
+        "seed": 0,
+        "total_itrs": 6,
+        "step_size": 3,
+        "opt": "sgd",
+        "lr": 0.05,
+        "weight_decay": 1e-4,
+        "momentum": 0.9,
+        "sched": "medical",
+        "warmup_epochs": 0,
+        "warmup_lr": 1e-4,
+        "min_lr": 1e-6,
+    }
+    cfg_path = tmp_path / "smoke.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    trainer = run(str(cfg_path), argv=["--set", "total_itrs=6"])
+    assert len(trainer.history) == 2  # eval at 3 and 6
+    assert trainer.ckpt.exists("last")
+    # tensorboard event files written
+    tb_dir = os.path.join(str(tmp_path / "ckpt"), "tensorboardX")
+    assert any(f.startswith("events") for f in os.listdir(tb_dir))
+
+
+def test_config_yaml_files_parse():
+    from hpfg_tpu.config import load_config
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    names = [f for f in os.listdir(cfg_dir) if f.endswith(".yaml")]
+    assert len(names) >= 10
+    for name in names:
+        cfg = load_config(os.path.join(cfg_dir, name))
+        assert "algorithm" in cfg, name
+        assert "total_itrs" in cfg, name
+        if "model1" in cfg:
+            assert "opt" in cfg.model1 and "lr" in cfg.model1, name
