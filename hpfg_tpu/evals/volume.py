@@ -36,11 +36,18 @@ class SliceForward:
     model.val()/model() eval calls (main.py:315, val.py:278).
     """
 
-    def __init__(self, apply_fn: Callable, chunk: int = DEFAULT_CHUNK):
+    def __init__(self, apply_fn: Callable, chunk: int = DEFAULT_CHUNK,
+                 output_index: int | None = None):
+        """``output_index`` selects one head from tuple-output models: 0 for
+        deep-supervision mains (reference test_single_volume_ds,
+        val.py:290-308) and SS-Net's (logits, feature) outputs
+        (val.py:353-373)."""
         self.chunk = chunk
 
         def fwd(variables, x):
             logits = apply_fn(variables, x)
+            if output_index is not None:
+                logits = logits[output_index]
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         self._fwd = jax.jit(fwd)

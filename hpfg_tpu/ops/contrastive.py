@@ -184,3 +184,67 @@ def compute_kl_loss(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     from hpfg_tpu.ops.losses import softmax_kl_loss
 
     return 0.5 * (softmax_kl_loss(p, q) + softmax_kl_loss(q, p))
+
+
+def pixel_class_contrastive_loss(features: jnp.ndarray,
+                                 memory_features: jnp.ndarray,
+                                 labels: jnp.ndarray,
+                                 student_logits: jnp.ndarray,
+                                 teacher_logits: jnp.ndarray,
+                                 num_classes: int,
+                                 length: int = 1024,
+                                 temperature: float = 0.1) -> jnp.ndarray:
+    """Pixel-level class contrastive loss
+    (reference Pixel_Class_Contrastive_Loss, utils/loss/pixel_contrastiveloss.py:8-75).
+
+    For each foreground class c: positives are the first `length`
+    correctly-predicted student pixels of class c paired with teacher pixels
+    of class c; negatives are `num_classes*length` teacher pixels of OTHER
+    classes; InfoNCE with the positive in column 0. Classes without enough
+    pixels contribute 0 (the reference `continue`s).
+
+    jit-safe redesign: boolean packing becomes masked top-k index selection
+    with validity gating; inputs are NHWC
+    (features/memory [B, H, W, C], labels [B, H, W], logits [B, H, W, K]).
+    """
+    opp_length = num_classes * length
+    f = features.reshape(-1, features.shape[-1]).astype(jnp.float32)
+    m = memory_features.reshape(-1, memory_features.shape[-1]).astype(jnp.float32)
+    lab = labels.reshape(-1).astype(jnp.int32)
+    s_pred = jnp.argmax(student_logits, axis=-1).reshape(-1)
+    t_pred = jnp.argmax(teacher_logits, axis=-1).reshape(-1)
+    s_ok = (s_pred == lab) & (s_pred > 0)
+    t_ok = (t_pred == lab) & (t_pred > 0)
+
+    def take_rows(mask, rows, k):
+        """First-k rows where mask holds (order-preserving), with validity.
+        k is clamped to the number of rows (tiny test inputs)."""
+        k = min(k, rows.shape[0])
+        key = jnp.where(mask, 0.0, 1.0)
+        order = jnp.argsort(key, stable=True)[:k]
+        count = jnp.sum(mask)
+        valid = jnp.arange(k) < count
+        return rows[order], valid, count
+
+    total = jnp.asarray(0.0, jnp.float32)
+    for c in range(1, num_classes):
+        fc, f_valid, f_count = take_rows(s_ok & (s_pred == c), f, length)
+        mc, m_valid, m_count = take_rows(t_ok & (t_pred == c), m, length)
+        oc, o_valid, o_count = take_rows(t_ok & (t_pred != c), m, opp_length)
+
+        fc = _l2n(fc)
+        mc = _l2n(mc)
+        oc = _l2n(oc)
+        l_pos = jnp.sum(fc * mc, axis=-1, keepdims=True)  # [L, 1]
+        l_neg = jnp.dot(fc, oc.T, preferred_element_type=jnp.float32)
+        neg_inf = jnp.finfo(jnp.float32).min
+        l_neg = jnp.where(o_valid[None, :], l_neg, neg_inf)
+        logits = jnp.concatenate([l_pos, l_neg], axis=1) / temperature
+        lse = jax.nn.logsumexp(logits, axis=1)
+        ce = lse - logits[:, 0]
+        row_valid = f_valid & m_valid
+        loss_c = jnp.sum(jnp.where(row_valid, ce, 0.0)) / jnp.maximum(
+            jnp.sum(row_valid), 1)
+        enough = (m_count >= length) & (o_count >= opp_length)
+        total = total + jnp.where(enough, loss_c, 0.0)
+    return total

@@ -1,5 +1,6 @@
 """Auxiliary contrastive/KD losses vs independent torch oracles."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -131,3 +132,70 @@ class TestOtherLosses:
         logits = jnp.asarray(np_rng.normal(size=(2, 3)).astype(np.float32))
         assert float(C.compute_kl_loss(logits, logits)) == pytest.approx(
             0.0, abs=1e-6)
+
+
+class TestPixelClassContrastive:
+    def test_zero_when_not_enough_pixels(self, np_rng):
+        import jax.numpy as jnp
+
+        b, h, w, c = 1, 8, 8, 4
+        out = C.pixel_class_contrastive_loss(
+            jnp.asarray(np_rng.normal(size=(b, h, w, c)).astype(np.float32)),
+            jnp.asarray(np_rng.normal(size=(b, h, w, c)).astype(np.float32)),
+            jnp.zeros((b, h, w), jnp.int32),
+            jnp.asarray(np_rng.normal(size=(b, h, w, 4)).astype(np.float32)),
+            jnp.asarray(np_rng.normal(size=(b, h, w, 4)).astype(np.float32)),
+            num_classes=4, length=1024)
+        assert float(out) == 0.0
+
+    def test_positive_when_enough_pixels(self, np_rng):
+        import jax.numpy as jnp
+
+        # all pixels of class 1, perfectly predicted, small lengths
+        b, h, w, c = 1, 96, 96, 8
+        labels = np.ones((b, h, w), np.int32)
+        labels[:, :, :48] = 2  # half class 2 for negatives
+        logits = np.zeros((b, h, w, 4), np.float32)
+        logits[..., 1] = (labels == 1) * 10.0
+        logits[..., 2] = (labels == 2) * 10.0
+        out = C.pixel_class_contrastive_loss(
+            jnp.asarray(np_rng.normal(size=(b, h, w, c)).astype(np.float32)),
+            jnp.asarray(np_rng.normal(size=(b, h, w, c)).astype(np.float32)),
+            jnp.asarray(labels), jnp.asarray(logits), jnp.asarray(logits),
+            num_classes=4, length=512)
+        assert np.isfinite(float(out)) and float(out) > 0
+
+
+class TestFreeze:
+    def test_freeze_subtrees_zero_updates(self):
+        import jax.numpy as jnp
+        import optax
+
+        from hpfg_tpu.ops.freeze import freeze_subtrees
+
+        params = {"encoder": {"w": jnp.ones(3)}, "head": {"w": jnp.ones(3)}}
+        tx = freeze_subtrees(optax.sgd(0.1), params, ["encoder"])
+        state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        assert float(np.abs(np.asarray(updates["encoder"]["w"])).sum()) == 0.0
+        assert float(np.abs(np.asarray(updates["head"]["w"])).sum()) > 0.0
+
+    def test_unfreeze_after_threshold(self):
+        import jax.numpy as jnp
+        import optax
+
+        from hpfg_tpu.ops.freeze import unfreeze_after
+
+        params = {"encoder": {"w": jnp.ones(3)}, "head": {"w": jnp.ones(3)}}
+        tx = unfreeze_after(optax.sgd(0.1), params, ["encoder"],
+                            unfreeze_itrs=2)
+        state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        for step in range(4):
+            updates, state = tx.update(grads, state, params)
+            frozen = float(np.abs(np.asarray(updates["encoder"]["w"])).sum())
+            if step < 2:
+                assert frozen == 0.0, step
+            else:
+                assert frozen > 0.0, step
