@@ -29,11 +29,14 @@ def run(default_config: str, algorithm: str | None = None, argv=None):
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
 
+
     from hpfg_tpu.config import parse_config
     from hpfg_tpu.train.algorithms import build_algorithm
     from hpfg_tpu.train.trainer import Trainer
 
     cfg = parse_config("hpfg_tpu trainer", default_config, argv)
+    jax.config.update("jax_default_prng_impl",
+                      str(cfg.get("prng_impl", "rbg")))
     algo_name = algorithm or cfg.get("algorithm")
     if algo_name is None:
         raise SystemExit("config must define `algorithm:` (or pass one)")
