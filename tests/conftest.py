@@ -51,3 +51,14 @@ def synthetic_acdc(tmp_path_factory):
     root = tmp_path_factory.mktemp("acdc")
     return make_synthetic_acdc(str(root), n_train_slices=24, n_test_volumes=2,
                                depth=4, hw=(64, 56))
+
+
+@pytest.fixture(autouse=True)
+def _restore_prng_impl():
+    """scripts/run.py sets jax_default_prng_impl='rbg' for training; flax
+    init then rejects PRNG keys minted earlier under threefry. Snapshot and
+    restore the config around every test."""
+    impl = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != impl:
+        jax.config.update("jax_default_prng_impl", impl)
