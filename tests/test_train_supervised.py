@@ -96,3 +96,29 @@ class TestMeanTeacher:
         # rampup at iter 1: weight = 0.1 * exp(-5) ~ 6.7e-4
         w = float(np.asarray(metrics["consistency_weight"]))
         assert w == pytest.approx(0.1 * np.exp(-5.0), rel=1e-3)
+
+
+class TestDeterminism:
+    def test_same_seed_same_loss(self, synthetic_acdc):
+        """Exact reproducibility: identical config+seed → bit-identical
+        losses (single jax.random key discipline, SURVEY §7 hard parts)."""
+        import jax
+
+        def two_steps():
+            cfg = tiny_cfg(synthetic_acdc, datasets="sup_acdc", batch_size=8)
+            algo = build_algorithm("supervised", cfg)
+            state = algo.init_state(jax.random.PRNGKey(7))
+            from hpfg_tpu.data.acdc import get_acdc_loader
+            from hpfg_tpu.train.algorithms.base import sup_batches
+
+            train_loader, _ = get_acdc_loader(synthetic_acdc, 8, (32, 32),
+                                              seed=5)
+            batches = sup_batches(train_loader)
+            step = jax.jit(algo.step)
+            losses = []
+            for _ in range(2):
+                state, metrics = step(state, next(batches))
+                losses.append(float(np.asarray(metrics["loss"])))
+            return losses
+
+        assert two_steps() == two_steps()
