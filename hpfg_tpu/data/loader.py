@@ -66,15 +66,23 @@ class BatchLoader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self._epoch = 0
+        # deterministic transforms (e.g. ResizeOnly for the device-augment
+        # path) are cached per index — one host resize per run, not per epoch
+        self._xform_cache: dict[int, tuple] | None = (
+            {} if getattr(transform, "deterministic", False) else None)
 
     def __len__(self) -> int:
         n = len(self.source)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _load_one(self, idx: int):
+        if self._xform_cache is not None and idx in self._xform_cache:
+            return self._xform_cache[idx]
         image, mask = self.source.load(idx)
         if self.transform is not None:
             image, mask = self.transform(image, mask)
+        if self._xform_cache is not None:
+            self._xform_cache[idx] = (image, mask)
         return image, mask
 
     def _batches_for_epoch(self, epoch: int) -> list[np.ndarray]:

@@ -62,7 +62,13 @@ class RandomGenerator:
 
 class ResizeOnly:
     """Deterministic nearest resize for the on-device augmentation path
-    (geometry randomness then runs in ops/augment.py on TPU)."""
+    (geometry randomness then runs in ops/augment.py on TPU).
+
+    ``deterministic = True`` lets BatchLoader cache the result per sample
+    index, so the single-core host pays each resize once per run instead of
+    once per epoch."""
+
+    deterministic = True
 
     def __init__(self, output_size: tuple[int, int]):
         self.output_size = tuple(output_size)
