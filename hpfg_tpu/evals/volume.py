@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hpfg_tpu.data.transforms import nearest_zoom
 from hpfg_tpu.evals.metrics import calculate_metric_percase
 
 # Volumes are padded to a multiple of this many slices so jit sees a tiny,

@@ -10,8 +10,6 @@ TPU conventions used across the zoo:
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

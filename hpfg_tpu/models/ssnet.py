@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from hpfg_tpu.models.unet import UNetEncoder
-from hpfg_tpu.models.layers import ConvBlock, UpBlock
+from hpfg_tpu.models.layers import UpBlock
 
 
 class SSNetDecoder(nn.Module):

@@ -107,3 +107,87 @@ def batched_random_generator_images(rng: jax.Array, images: jnp.ndarray):
     out, _ = jax.vmap(_augment_one)(
         jax.random.split(rng, images.shape[0]), images, dummy)
     return out
+
+
+def _rotation_index_maps(h: int, w: int, angle_deg: jnp.ndarray):
+    theta = jnp.deg2rad(angle_deg.astype(jnp.float32))
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    src_y = cos * ys - sin * xs + cy
+    src_x = sin * ys + cos * xs + cx
+    yi = jnp.round(src_y).astype(jnp.int32)
+    xi = jnp.round(src_x).astype(jnp.int32)
+    valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    return jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1), valid
+
+
+def _augment_stream_fast(rng: jax.Array, images: jnp.ndarray,
+                         masks: jnp.ndarray):
+    """Batched RandomGenerator with a SHARED per-batch rotation angle.
+
+    Per-sample dynamic-gather rotations under vmap cost ~37 ms for a 40-image
+    call on v5e (both cond branches execute under vmap); sharing the angle
+    across the batch turns the rotation into one shared-index gather.
+    Per-sample branch choice / rot90 k / flip axis remain independent —
+    only the rotation ANGLE is batch-shared (documented deviation from
+    reference datasets/utils.py:86-90's per-sample angle).
+    """
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    k_p1, k_p2, k_rot, k_flip, k_angle = jax.random.split(rng, 5)
+    p1 = jax.random.uniform(k_p1, (b,))
+    p2 = jax.random.uniform(k_p2, (b,))
+    ks = jax.random.randint(k_rot, (b,), 0, 4)
+    axes = jax.random.randint(k_flip, (b,), 0, 2)
+    angle = jax.random.randint(k_angle, (), -20, 20)
+
+    rf_img = jax.vmap(lambda im, k, a: _flip_axis(_rot90_k(im, k), a))(
+        images, ks, axes)
+    rf_msk = jax.vmap(lambda m, k, a: _flip_axis(_rot90_k(m, k), a))(
+        masks, ks, axes)
+
+    yi, xi, valid = _rotation_index_maps(h, w, angle)
+    rot_img = jnp.where(valid[None, :, :, None], images[:, yi, xi, :], 0.0)
+    rot_msk = jnp.where(valid[None, :, :], masks[:, yi, xi],
+                        jnp.zeros((), masks.dtype))
+
+    use_rf = (p1 > 0.5)
+    use_rot = (~use_rf) & (p2 > 0.5)
+    img = jnp.where(use_rf[:, None, None, None], rf_img,
+                    jnp.where(use_rot[:, None, None, None], rot_img, images))
+    msk = jnp.where(use_rf[:, None, None], rf_msk,
+                    jnp.where(use_rot[:, None, None], rot_msk, masks))
+    return img, msk
+
+
+@jax.jit
+def augment_batch_dict(rng: jax.Array, counter: jnp.ndarray,
+                       batch: dict) -> dict:
+    """Augment every image stream of a train batch in one XLA call.
+
+    ``counter`` folds the iteration number into the base key INSIDE the jit —
+    host-side jax.random.split would be an eager device op per iteration
+    (a full tunnel round-trip on this setup).
+
+    Recognized keys: (image, label), (label_img, label),
+    (label_img1, label1), unlabel_img — the batch layouts produced by the
+    algorithm iterators.
+    """
+    out = dict(batch)
+    rng = jax.random.fold_in(rng, counter)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    if "image" in batch and "label" in batch:
+        out["image"], out["label"] = _augment_stream_fast(
+            k1, batch["image"], batch["label"])
+    if "label_img" in batch:
+        out["label_img"], out["label"] = _augment_stream_fast(
+            k2, batch["label_img"], batch["label"])
+    if "label_img1" in batch:
+        out["label_img1"], out["label1"] = _augment_stream_fast(
+            k3, batch["label_img1"], batch["label1"])
+    if "unlabel_img" in batch:
+        dummy = jnp.zeros(batch["unlabel_img"].shape[:3], jnp.int32)
+        out["unlabel_img"], _ = _augment_stream_fast(
+            k4, batch["unlabel_img"], dummy)
+    return out

@@ -36,7 +36,7 @@ from hpfg_tpu.ops.losses import (
 )
 from hpfg_tpu.ops.rampup import linear_rampup
 from hpfg_tpu.train.algorithms import ALGORITHMS
-from hpfg_tpu.train.algorithms.base import apply_train, ssl_batches, tree_copy
+from hpfg_tpu.train.algorithms.base import apply_train, tree_copy
 from hpfg_tpu.train.algorithms.dual import DualAlgorithm, TeacherDualState
 
 

@@ -39,7 +39,6 @@ from hpfg_tpu.train.algorithms import ALGORITHMS
 from hpfg_tpu.train.algorithms.base import (
     Algorithm,
     ModelState,
-    init_model,
     ssl_batches,
 )
 from hpfg_tpu.train.optim import build_optimizer

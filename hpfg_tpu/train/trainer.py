@@ -34,6 +34,15 @@ from hpfg_tpu.utils.tb import TBWriter
 VOLUME_DATASETS = {"acdc", "sup_acdc", "synapse", "sup_synapse"}
 
 
+@jax.jit
+def _stack_metrics(pending: list) -> "jax.Array":
+    """[{name: scalar}] → [N, K] in one compiled program (eager stacks are
+    one tunnel round-trip EACH on this setup)."""
+    import jax.numpy as jnp
+
+    return jnp.stack([jnp.stack([m[k] for k in sorted(m)]) for m in pending])
+
+
 class Trainer:
     def __init__(self, cfg, algorithm, loaders=None, workdir: str | None = None,
                  enable_tb: bool = True, log_every: int = 20):
@@ -61,6 +70,7 @@ class Trainer:
         self.history: list[dict] = []
         self.device_augment = bool(cfg.get("device_augment", False))
         self._aug_rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 777)
+        self._aug_counter = 0
 
     # ------------------------------------------------------------------
     def init_state(self, seed: int | None = None):
@@ -99,14 +109,9 @@ class Trainer:
             pending_metrics.append((cur, metrics))
 
             if cur % self.log_every == 0 or cur == self.total_itrs:
-                # force sync only here; keep the device queue full otherwise
-                for it, m in pending_metrics:
-                    self.writer.add_scalars(
-                        {k: float(np.asarray(v)) for k, v in m.items()},
-                        it, prefix=self.algorithm.name)
-                last = {k: float(np.asarray(v))
-                        for k, v in pending_metrics[-1][1].items()}
-                pending_metrics.clear()
+                # ONE device→host transfer for the whole window: per-scalar
+                # fetches cost tens of ms each through the TPU tunnel
+                last = self._flush_metrics(pending_metrics)
                 if cur % (self.log_every * 10) == 0:
                     rate = cur * (images_per_step or 0) / (time.time() - t_start)
                     self.logger.info(
@@ -114,6 +119,7 @@ class Trainer:
                         self.total_itrs, last.get("loss", float("nan")), rate)
 
             if eval_enabled and cur % self.step_size == 0:
+                self._flush_metrics(pending_metrics)
                 self.evaluate(state, cur)
                 panels_fn = getattr(self.algorithm, "image_panels", None)
                 if panels_fn is not None and not self._writer_disabled():
@@ -127,30 +133,32 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
+    def _flush_metrics(self, pending: list) -> dict:
+        """Write queued scalar metrics to TB with a single stacked
+        device→host transfer (each individual fetch pays the full tunnel
+        round-trip)."""
+        if not pending:
+            return {}
+        names = sorted(pending[0][1].keys())
+        table = np.asarray(_stack_metrics([m for _, m in pending]))
+        for (it, _), row in zip(pending, table):
+            self.writer.add_scalars(dict(zip(names, row)), it,
+                                    prefix=self.algorithm.name)
+        last = dict(zip(names, table[-1]))
+        pending.clear()
+        return {k: float(v) for k, v in last.items()}
+
+    # ------------------------------------------------------------------
     def _augment(self, batch: dict) -> dict:
         """On-device geometric augmentation of the raw resized batch
         (ops/augment.py; replaces host RandomGenerator when
-        cfg.device_augment is set)."""
-        from hpfg_tpu.ops.augment import (
-            batched_random_generator,
-            batched_random_generator_images,
-        )
+        cfg.device_augment is set). All streams augment in ONE jitted call
+        to pay a single dispatch per iteration."""
+        from hpfg_tpu.ops.augment import augment_batch_dict
 
-        self._aug_rng, k1, k2, k3 = jax.random.split(self._aug_rng, 4)
-        out = dict(batch)
-        if "image" in batch and "label" in batch:
-            out["image"], out["label"] = batched_random_generator(
-                k1, batch["image"], batch["label"])
-        if "label_img" in batch:
-            out["label_img"], out["label"] = batched_random_generator(
-                k1, batch["label_img"], batch["label"])
-        if "label_img1" in batch:
-            out["label_img1"], out["label1"] = batched_random_generator(
-                k2, batch["label_img1"], batch["label1"])
-        if "unlabel_img" in batch:
-            out["unlabel_img"] = batched_random_generator_images(
-                k3, batch["unlabel_img"])
-        return out
+        self._aug_counter += 1
+        return augment_batch_dict(self._aug_rng,
+                                  np.uint32(self._aug_counter), batch)
 
     # ------------------------------------------------------------------
     def evaluate(self, state, cur_itrs: int) -> dict[str, tuple[float, float]]:
