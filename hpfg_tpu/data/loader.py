@@ -70,17 +70,31 @@ class BatchLoader:
         # path) are cached per index — one host resize per run, not per epoch
         self._xform_cache: dict[int, tuple] | None = (
             {} if getattr(transform, "deterministic", False) else None)
+        # stateless per-sample rng keeps threaded assembly bit-deterministic
+        import inspect
+
+        self._transform_takes_rng = False
+        if transform is not None:
+            try:
+                params = inspect.signature(transform.__call__).parameters
+                self._transform_takes_rng = "rng" in params
+            except (TypeError, ValueError):
+                pass
 
     def __len__(self) -> int:
         n = len(self.source)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _load_one(self, idx: int):
+    def _load_one(self, idx: int, epoch: int = 0):
         if self._xform_cache is not None and idx in self._xform_cache:
             return self._xform_cache[idx]
         image, mask = self.source.load(idx)
         if self.transform is not None:
-            image, mask = self.transform(image, mask)
+            if self._transform_takes_rng:
+                rng = np.random.default_rng((self.seed, epoch, int(idx)))
+                image, mask = self.transform(image, mask, rng=rng)
+            else:
+                image, mask = self.transform(image, mask)
         if self._xform_cache is not None:
             self._xform_cache[idx] = (image, mask)
         return image, mask
@@ -108,7 +122,8 @@ class BatchLoader:
                     for idxs in batches:
                         if stop.is_set():
                             return
-                        samples = list(pool.map(self._load_one, idxs))
+                        samples = list(pool.map(
+                            lambda i: self._load_one(i, epoch), idxs))
                         images = np.stack([s[0] for s in samples]).astype(np.float32)
                         masks = np.stack([s[1] for s in samples]).astype(np.int32)
                         q.put((images, masks))

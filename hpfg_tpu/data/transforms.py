@@ -48,13 +48,20 @@ class RandomGenerator:
 
     def __init__(self, output_size: tuple[int, int], seed: int | None = None):
         self.output_size = tuple(output_size)
+        self.seed = 0 if seed is None else int(seed)
         self.rng = np.random.default_rng(seed)
 
-    def __call__(self, image: np.ndarray, mask: np.ndarray):
-        if self.rng.random() > 0.5:
-            image, mask = random_rot_flip(image, mask, self.rng)
-        elif self.rng.random() > 0.5:
-            image, mask = random_rotate(image, mask, self.rng)
+    def __call__(self, image: np.ndarray, mask: np.ndarray,
+                 rng: np.random.Generator | None = None):
+        """``rng`` (when provided by the loader) is derived statelessly from
+        (loader seed, epoch, sample index) so multi-threaded sample assembly
+        stays bit-deterministic; the fallback shared-rng path matches the
+        reference's global-random behavior."""
+        rng = self.rng if rng is None else rng
+        if rng.random() > 0.5:
+            image, mask = random_rot_flip(image, mask, rng)
+        elif rng.random() > 0.5:
+            image, mask = random_rotate(image, mask, rng)
         image = nearest_zoom(image, self.output_size).astype(np.float32)
         mask = nearest_zoom(mask, self.output_size).astype(np.uint8)
         return image[..., None], mask
