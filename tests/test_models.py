@@ -129,6 +129,9 @@ class TestSwinMAE:
     ("segformer", 32, 3),
     ("resunet", 32, 3),
     ("resunet_plusplus", 32, 3),
+    ("transunet", 32, 3),
+    ("cmt", 32, 3),
+    ("uniformer_plus", 32, 3),
 ])
 class TestSmallZoo:
     def test_forward(self, name, size, chans):
@@ -137,4 +140,18 @@ class TestSmallZoo:
         m = build_model(cfg)
         x = jnp.zeros((1, size, size, chans))
         _, out = _init_apply(m, x)
+        if isinstance(out, tuple):  # *_plus contract
+            out = out[0]
         assert out.shape == (1, size, size, 2)
+
+
+class TestUCTransNet:
+    def test_forward_sigmoid_head(self):
+        cfg = Config(model="uctransnet", in_channels=3, num_classes=1,
+                     train_crop_size=[32, 32])
+        m = build_model(cfg)
+        x = jnp.zeros((1, 32, 32, 3))
+        _, out = _init_apply(m, x)
+        assert out.shape == (1, 32, 32, 1)
+        arr = np.asarray(out)
+        assert arr.min() >= 0.0 and arr.max() <= 1.0  # sigmoid head
