@@ -57,8 +57,10 @@ def build_model(cfg, dtype=jnp.float32):
         return MODELS.get(name)(in_channels=in_channels,
                                 num_classes=num_classes, dtype=dtype, **kwargs)
     if name == "unet_large":
+        # base_c=32 (model/unet_large.py); base_c=64 reproduces the
+        # unregistered unet_large_LIDC variant (model/unet_large_LIDC.py)
         return UNetLarge(in_channels=in_channels, num_classes=num_classes,
-                         dtype=dtype)
+                         base_c=int(cfg.get("base_c", 32)), dtype=dtype)
     if name in ("swinunet", "swinunet_plus", "swinunet_lidc"):
         from hpfg_tpu.models.swinunet import build_swinunet
 
