@@ -65,12 +65,26 @@ class Trainer:
         self.num_classes = int(cfg.get("num_classes", 4))
         self.test_crop = tuple(cfg.get("test_crop_size", cfg.train_crop_size))
 
-        self._jit_step = jax.jit(self.algorithm.step, donate_argnums=(0,))
-        self.best_dice: dict[str, float] = {}
-        self.history: list[dict] = []
         self.device_augment = bool(cfg.get("device_augment", False))
         self._aug_rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 777)
         self._aug_counter = 0
+        if self.device_augment:
+            # fuse augmentation INTO the step: one Execute per iteration
+            # (each dependent Execute pays a full round-trip on the tunnel)
+            from hpfg_tpu.ops.augment import augment_batch_dict
+
+            aug_rng = self._aug_rng
+            algo_step = self.algorithm.step
+
+            def fused_step(state, batch, counter):
+                batch = augment_batch_dict(aug_rng, counter, batch)
+                return algo_step(state, batch)
+
+            self._jit_step = jax.jit(fused_step, donate_argnums=(0,))
+        else:
+            self._jit_step = jax.jit(self.algorithm.step, donate_argnums=(0,))
+        self.best_dice: dict[str, float] = {}
+        self.history: list[dict] = []
 
     # ------------------------------------------------------------------
     def init_state(self, seed: int | None = None):
@@ -103,8 +117,11 @@ class Trainer:
                     v.shape[0] for k, v in batch.items() if "img" in k or k == "image")
             batch = shard_batch(self.mesh, batch)
             if self.device_augment:
-                batch = self._augment(batch)
-            state, metrics = self._jit_step(state, batch)
+                self._aug_counter += 1
+                state, metrics = self._jit_step(
+                    state, batch, np.uint32(self._aug_counter))
+            else:
+                state, metrics = self._jit_step(state, batch)
             cur += 1
             pending_metrics.append((cur, metrics))
 
@@ -147,18 +164,6 @@ class Trainer:
         last = dict(zip(names, table[-1]))
         pending.clear()
         return {k: float(v) for k, v in last.items()}
-
-    # ------------------------------------------------------------------
-    def _augment(self, batch: dict) -> dict:
-        """On-device geometric augmentation of the raw resized batch
-        (ops/augment.py; replaces host RandomGenerator when
-        cfg.device_augment is set). All streams augment in ONE jitted call
-        to pay a single dispatch per iteration."""
-        from hpfg_tpu.ops.augment import augment_batch_dict
-
-        self._aug_counter += 1
-        return augment_batch_dict(self._aug_rng,
-                                  np.uint32(self._aug_counter), batch)
 
     # ------------------------------------------------------------------
     def evaluate(self, state, cur_itrs: int) -> dict[str, tuple[float, float]]:
