@@ -110,7 +110,11 @@ def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     valid = (labels != ignore_index)
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis: a per-pixel gather
+    # lowers to a serial "custom fusion" on TPU (profiled at 5.3 ms/step for
+    # [8,224,224,4]); the dense multiply+sum vectorizes over the lane axis.
+    oh = jax.nn.one_hot(safe_labels, logits.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * oh, axis=-1)
     nll = jnp.where(valid, nll, 0.0)
     count = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(nll) / count
@@ -181,10 +185,12 @@ def focal_loss(logits: jnp.ndarray, labels: jnp.ndarray, gamma: float = 2.0,
     """Focal loss (reference FocalLoss, utils/loss/diceloss.py:118-152)."""
     labels = labels.astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    logpt = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    # one-hot contraction, not take_along_axis (gathers serialize on TPU)
+    oh = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
+    logpt = jnp.sum(logp * oh, axis=-1)
     pt = jnp.exp(jax.lax.stop_gradient(logpt))
     if alpha is not None:
-        at = jnp.asarray(alpha, jnp.float32)[labels]
+        at = jnp.sum(jnp.asarray(alpha, jnp.float32) * oh, axis=-1)
         logpt = logpt * at
     loss = -((1.0 - pt) ** gamma) * logpt
     return jnp.mean(loss) if size_average else jnp.sum(loss)
