@@ -6,10 +6,14 @@ argmaxed, copied back, zoomed back — a host↔device ping-pong per slice.
 
 TPU rebuild: all slices of a volume are zoomed once, stacked, padded to a
 fixed chunk size and forwarded in batched jitted calls; only the final
-integer prediction volume returns to host. Distance-transform metrics (HD95)
-stay on host (scipy), overlap metrics are cheap numpy sums over the already
-materialized masks. Resize parity: scipy order-0 zoom on both directions,
-exactly as the reference (val.py:274, 280).
+integer prediction volume returns to host. With a multi-device mesh the
+slice axis is sharded over the ``data`` axis (each chip forwards its share
+of the volume) and the per-class confusion sums are computed ON DEVICE —
+``jnp.sum`` over a sharded axis lowers to a psum over ICI (SURVEY.md §5.7),
+so no prediction gather is needed for Dice. Distance-transform metrics
+(HD95) stay on host (scipy), fed by a single prediction readback. Resize
+parity: scipy order-0 zoom semantics on both directions, exactly as the
+reference (val.py:274, 280).
 """
 
 from __future__ import annotations
@@ -21,10 +25,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from hpfg_tpu.evals.metrics import calculate_metric_percase
+from hpfg_tpu.parallel.mesh import batch_sharding, pad_to_multiple
 
 # Volumes are padded to a multiple of this many slices so jit sees a tiny,
 # fixed set of batch shapes (1-2 compilations, reused across volumes).
 DEFAULT_CHUNK = 16
+
+# Native H/W are padded up to multiples of this for the on-device metric
+# path, bounding the number of distinct compiled shapes.
+HW_BUCKET = 64
 
 
 class SliceForward:
@@ -33,14 +42,21 @@ class SliceForward:
     apply_fn(variables, x[N, H, W, C_in]) -> logits [N, H, W, C]; `val`-style
     inference (no dropout, running BN stats), matching the reference's
     model.val()/model() eval calls (main.py:315, val.py:278).
+
+    With ``mesh`` the slice axis of each chunk is sharded over the mesh's
+    data axis: GSPMD splits the forward across chips (chunk is rounded up to
+    a device-count multiple so every chip gets an equal shard).
     """
 
     def __init__(self, apply_fn: Callable, chunk: int = DEFAULT_CHUNK,
-                 output_index: int | None = None):
+                 output_index: int | None = None, mesh=None):
         """``output_index`` selects one head from tuple-output models: 0 for
         deep-supervision mains (reference test_single_volume_ds,
         val.py:290-308) and SS-Net's (logits, feature) outputs
         (val.py:353-373)."""
+        self.mesh = mesh
+        if mesh is not None and mesh.devices.size > 1:
+            chunk = pad_to_multiple(chunk, mesh.devices.size)
         self.chunk = chunk
 
         def fwd(variables, x):
@@ -51,8 +67,20 @@ class SliceForward:
 
         self._fwd = jax.jit(fwd)
 
+    def _put(self, x: np.ndarray):
+        if self.mesh is None or self.mesh.devices.size == 1:
+            return x
+        return jax.device_put(x, batch_sharding(self.mesh, x.ndim))
+
     def __call__(self, variables, slices: np.ndarray) -> np.ndarray:
         """slices: [D, H, W, C_in] float32 → predictions [D, H, W] int32."""
+        return np.concatenate(
+            [np.asarray(c) for c in self.device_chunks(variables, slices)]
+        )[:slices.shape[0]]
+
+    def device_chunks(self, variables, slices: np.ndarray) -> list:
+        """Forward all (padded) chunks, returning DEVICE arrays [chunk,H,W]
+        int32 — callers that keep working on device avoid the readback."""
         d = slices.shape[0]
         pad = (-d) % self.chunk
         if pad:
@@ -60,8 +88,8 @@ class SliceForward:
                 [slices, np.zeros((pad,) + slices.shape[1:], slices.dtype)])
         outs = []
         for i in range(0, slices.shape[0], self.chunk):
-            outs.append(np.asarray(self._fwd(variables, slices[i:i + self.chunk])))
-        return np.concatenate(outs)[:d]
+            outs.append(self._fwd(variables, self._put(slices[i:i + self.chunk])))
+        return outs
 
 
 def predict_volume(forward: SliceForward, variables, image: np.ndarray,
@@ -69,29 +97,33 @@ def predict_volume(forward: SliceForward, variables, image: np.ndarray,
                    zoom_order: int = 0) -> np.ndarray:
     """image: [D, H, W] → predicted labels [D, H, W] (native resolution)."""
     d, h, w = image.shape
-    ph, pw = patch_size
-    if (h, w) != (ph, pw):
-        if zoom_order == 0:
-            # order-0 zoom is a pure index map — compute it once, apply to all
-            # slices with one fancy-index (reference zooms per slice,
-            # val.py:274).
-            ys = _zoom_index_map(h, ph)
-            xs = _zoom_index_map(w, pw)
-            resized = image[:, ys[:, None], xs[None, :]]
-        else:
-            from scipy.ndimage import zoom
-
-            resized = np.stack([
-                zoom(image[i], (ph / h, pw / w), order=zoom_order)
-                for i in range(d)])
-    else:
-        resized = image
+    resized = _resize_volume(image, patch_size, zoom_order)
     preds = forward(variables, resized[..., None].astype(np.float32))
+    ph, pw = patch_size
     if (h, w) != (ph, pw):
         ys = _zoom_index_map(ph, h)
         xs = _zoom_index_map(pw, w)
         preds = preds[:, ys[:, None], xs[None, :]]
     return preds
+
+
+def _resize_volume(image: np.ndarray, patch_size: tuple[int, int],
+                   zoom_order: int) -> np.ndarray:
+    d, h, w = image.shape
+    ph, pw = patch_size
+    if (h, w) == (ph, pw):
+        return image
+    if zoom_order == 0:
+        # order-0 zoom is a pure index map — compute it once, apply to all
+        # slices with one fancy-index (reference zooms per slice,
+        # val.py:274).
+        ys = _zoom_index_map(h, ph)
+        xs = _zoom_index_map(w, pw)
+        return image[:, ys[:, None], xs[None, :]]
+    from scipy.ndimage import zoom
+
+    return np.stack([zoom(image[i], (ph / h, pw / w), order=zoom_order)
+                     for i in range(d)])
 
 
 def _zoom_index_map(in_size: int, out_size: int) -> np.ndarray:
@@ -105,13 +137,116 @@ def _zoom_index_map(in_size: int, out_size: int) -> np.ndarray:
     return np.clip(np.round(src).astype(np.int64), 0, in_size - 1)
 
 
+# ---------------------------------------------------------------------------
+# On-device sharded metric path
+# ---------------------------------------------------------------------------
+
+def volume_confusion_sums(forward: SliceForward, variables,
+                          image: np.ndarray, label: np.ndarray,
+                          num_classes: int, patch_size: tuple[int, int],
+                          zoom_order: int = 0,
+                          return_pred: bool = True):
+    """Per-class (intersection, |pred|, |gt|) at NATIVE resolution, computed
+    on device over the (mesh-sharded) slice axis.
+
+    The native-resolution zoom-back (reference val.py:280) is a pure gather
+    executed on device; H/W are padded to :data:`HW_BUCKET` multiples so the
+    compiled-shape count stays bounded across heterogeneous volumes.
+
+    Returns ``(sums [C-1, 3] int32, pred [D, H, W] | None)`` — ``pred`` is
+    the single host readback feeding HD95; pass ``return_pred=False`` for a
+    zero-readback fast path (dice-only eval).
+    """
+    d, h, w = image.shape
+    ph, pw = patch_size
+    resized = _resize_volume(image, patch_size, zoom_order)
+    chunks = forward.device_chunks(
+        variables, resized[..., None].astype(np.float32))
+
+    hb, wb = pad_to_multiple(h, HW_BUCKET), pad_to_multiple(w, HW_BUCKET)
+    ys = np.zeros(hb, np.int32)
+    xs = np.zeros(wb, np.int32)
+    ys[:h] = _zoom_index_map(ph, h) if (h, w) != (ph, pw) else np.arange(h)
+    xs[:w] = _zoom_index_map(pw, w) if (h, w) != (ph, pw) else np.arange(w)
+
+    label_p = np.zeros((len(chunks) * forward.chunk, hb, wb), np.int32)
+    label_p[:d, :h, :w] = label
+    chunk = forward.chunk
+    confusion = _confusion_and_unzoom_fn(num_classes)
+
+    mesh = forward.mesh
+    def put(x):
+        if mesh is None or mesh.devices.size == 1:
+            return x
+        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+    total = None
+    pred_chunks = []
+    for i, pred_c in enumerate(chunks):
+        n_valid = np.clip(d - i * chunk, 0, chunk)
+        sums, pred_native = confusion(
+            pred_c, put(label_p[i * chunk:(i + 1) * chunk]),
+            jnp.asarray(ys), jnp.asarray(xs),
+            np.int32(n_valid), np.int32(h), np.int32(w))
+        total = sums if total is None else total + sums
+        if return_pred:
+            pred_chunks.append(pred_native)
+    total = np.asarray(total)
+    pred = None
+    if return_pred:
+        pred = np.concatenate([np.asarray(p) for p in pred_chunks])[:d, :h, :w]
+    return total, pred
+
+
+_CONF_UNZOOM_CACHE: dict = {}
+
+
+def _confusion_and_unzoom_fn(num_classes: int):
+    if num_classes not in _CONF_UNZOOM_CACHE:
+
+        def fn(pred_patch, label, ys, xs, n_valid, h, w):
+            # pred_patch: [N, ph, pw]; label: [N, Hb, Wb]; ys/xs: bucket-
+            # padded native->patch index maps; h/w: true native extent.
+            pred = pred_patch[:, ys[:, None], xs[None, :]]  # [N, Hb, Wb]
+            n, hb, wb = pred.shape
+            valid = ((jnp.arange(n)[:, None, None] < n_valid)
+                     & (jnp.arange(hb)[None, :, None] < h)
+                     & (jnp.arange(wb)[None, None, :] < w))
+            out = []
+            for c in range(1, num_classes):
+                p = (pred == c) & valid
+                l = (label == c) & valid
+                out.append(jnp.stack([
+                    jnp.sum(p & l, dtype=jnp.int32),
+                    jnp.sum(p, dtype=jnp.int32),
+                    jnp.sum(l, dtype=jnp.int32),
+                ]))
+            return jnp.stack(out), pred
+
+        _CONF_UNZOOM_CACHE[num_classes] = jax.jit(fn)
+    return _CONF_UNZOOM_CACHE[num_classes]
+
+
+def dice_from_sums(sums: np.ndarray) -> np.ndarray:
+    """Per-class dice with the reference's empty-mask edge rule
+    (val.py:376-387 via calculate_metric_percase): pred or gt empty → 0."""
+    inter, ps, ls = sums[:, 0], sums[:, 1], sums[:, 2]
+    denom = ps + ls
+    dice = np.where((ps > 0) & (ls > 0),
+                    2.0 * inter / np.maximum(denom, 1), 0.0)
+    return dice
+
+
 def evaluate_volumes(forward: SliceForward, variables, volumes,
                      num_classes: int, patch_size: tuple[int, int],
-                     zoom_order: int = 0):
+                     zoom_order: int = 0, compute_hd95: bool = True):
     """Evaluate an iterable of (image [D, H, W], label [D, H, W]) volumes.
 
-    Returns (mean_dice, mean_hd95, per_class [C-1, 2]) with the reference's
-    volume-then-class averaging (val.py:187-193).
+    Returns (mean_dice, mean_hd95, per_class [C-1, 2], first) with the
+    reference's volume-then-class averaging (val.py:187-193). Dice comes
+    from on-device confusion sums (sharded over the mesh when the forward
+    carries one); HD95 from host EDT over the predictions — or 0s with
+    ``compute_hd95=False``, which skips the prediction readback entirely.
     """
     metric_sum = np.zeros((num_classes - 1, 2), dtype=np.float64)
     count = 0
@@ -119,10 +254,17 @@ def evaluate_volumes(forward: SliceForward, variables, volumes,
     for image, label in volumes:
         image = np.asarray(image, dtype=np.float32)
         label = np.asarray(label)
-        pred = predict_volume(forward, variables, image, patch_size, zoom_order)
-        for i in range(1, num_classes):
-            metric_sum[i - 1] += np.asarray(
-                calculate_metric_percase(pred == i, label == i))
+        sums, pred = volume_confusion_sums(
+            forward, variables, image, label, num_classes, patch_size,
+            zoom_order, return_pred=compute_hd95 or first is None)
+        metric_sum[:, 0] += dice_from_sums(sums)
+        if compute_hd95:
+            for i in range(1, num_classes):
+                p, l = pred == i, label == i
+                if p.sum() > 0 and l.sum() > 0:
+                    from hpfg_tpu.evals.metrics import binary_hd95
+
+                    metric_sum[i - 1, 1] += binary_hd95(p, l)
         count += 1
         if first is None:
             first = (image, label, pred)

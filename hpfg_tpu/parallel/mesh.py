@@ -58,20 +58,49 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS) -> Any:
     """Device-put a pytree of host arrays with the leading axis sharded.
 
-    Leaves whose leading dimension does not divide the mesh size are
-    replicated instead (tiny test/eval batches); training loaders produce
-    divisible batches by construction (drop_last batching, reference:
-    datasets/ACDC.py:127-129).
+    Training loaders produce divisible batches by construction (drop_last
+    batching, reference: datasets/ACDC.py:127-129); a non-divisible leading
+    axis is a loud error — silent replication would duplicate compute on
+    every chip (use :func:`pad_and_shard` for eval-style ragged batches).
+
+    Multi-process (multi-host) runs: each process passes its *local* shard
+    of the global batch (global leading dim = local × process_count) and the
+    leaves are assembled into global arrays via
+    ``jax.make_array_from_process_local_data`` (SURVEY.md §5.8).
     """
     n = mesh.devices.size
+    multiprocess = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0 or x.shape[0] % n != 0:
+        if x.ndim == 0:
             return jax.device_put(x, replicated(mesh))
-        return jax.device_put(x, batch_sharding(mesh, x.ndim, axis_name))
+        sharding = batch_sharding(mesh, x.ndim, axis_name)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sharding, x)
+        if x.shape[0] % n != 0:
+            raise ValueError(
+                f"batch leading dim {x.shape[0]} does not divide the "
+                f"{n}-device mesh; use pad_and_shard() for ragged batches")
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def pad_and_shard(mesh: Mesh, x: Any, axis_name: str = DATA_AXIS):
+    """Zero-pad the leading axis up to a mesh-size multiple and shard it.
+
+    Returns ``(sharded_array, n_valid)``; consumers mask out the padded
+    rows (`jnp.arange(n_padded) < n_valid`). This replaces round-1's silent
+    full replication of non-divisible eval batches.
+    """
+    x = np.asarray(x)
+    n = mesh.devices.size
+    n_valid = x.shape[0]
+    pad = (-n_valid) % n
+    if pad:
+        x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+    return jax.device_put(x, batch_sharding(mesh, x.ndim, axis_name)), n_valid
 
 
 def pad_to_multiple(n: int, k: int) -> int:

@@ -228,5 +228,5 @@ class Trainer:
                     return model.apply(variables, x, method=model.val)
                 return model.apply(variables, x, train=False)
 
-            self._fwd_cache[key] = SliceForward(apply_fn)
+            self._fwd_cache[key] = SliceForward(apply_fn, mesh=self.mesh)
         return self._fwd_cache[key]
