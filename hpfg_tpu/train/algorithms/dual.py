@@ -41,9 +41,23 @@ class DualAlgorithm(Algorithm):
     """Builds model1/model2 + their optimizers from nested config blocks
     (reference: config/hpfg_unet_plus_30k_224x224_ACDC.yaml model1:/model2:)."""
 
+    #: keys copied from a flat (ccnet-style) config into synthesized
+    #: model1/model2 blocks
+    _FLAT_KEYS = ("model", "num_classes", "in_channels", "train_crop_size",
+                  "opt", "lr", "weight_decay", "momentum", "sched",
+                  "warmup_epochs", "warmup_lr", "min_lr", "total_itrs",
+                  "step_size")
+
     def __init__(self, cfg, dtype=jnp.float32):
         super().__init__(cfg, dtype)
-        cfg1, cfg2 = cfg.model1, cfg.model2
+        cfg1, cfg2 = cfg.get("model1"), cfg.get("model2")
+        if cfg1 is None or cfg2 is None:
+            # ccnet-style flat schema (reference
+            # config/ccnet_unet_30k_224x224_ACDC.yaml): one model/optimizer
+            # spec drives both students
+            flat = {k: cfg[k] for k in self._FLAT_KEYS if k in cfg}
+            cfg1 = cfg1 or type(cfg)(**flat)
+            cfg2 = cfg2 or type(cfg)(**flat)
         # nested blocks may omit dataset-level keys; inherit them
         for sub in (cfg1, cfg2):
             for key in ("num_classes", "in_channels", "train_crop_size"):

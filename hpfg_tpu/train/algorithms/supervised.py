@@ -59,6 +59,11 @@ class Supervised(Algorithm):
             logits, new_model = apply_train(
                 self.model, state.model.replace(params=params),
                 batch["image"], d_rng)
+            if isinstance(logits, tuple):
+                # *_plus models return (logits, high, head); supervised
+                # training consumes logits only (reference ccnet_* 100%
+                # configs pair sup datasets with plus models)
+                logits = logits[0]
             loss = med_sup_loss(logits, batch["label"], self.num_classes,
                                 self.ce_weight, self.dice_weight)
             return loss, new_model
