@@ -150,6 +150,14 @@ class BatchLoader:
     def cycle(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """Eternal iteration (the reference's StopIteration-reinit labeled
         stream, e.g. 2017_03_NIPS_Mean-Teacher_ACDC.py:83-87)."""
+        if len(self) == 0:
+            # drop_last batching with fewer samples than one batch would
+            # otherwise spin forever — fail loudly (e.g. a labeled split of
+            # label_num * n_slices < batch_size)
+            raise ValueError(
+                f"loader over {len(self.source)} samples yields no batches "
+                f"at batch_size={self.batch_size} (drop_last); decrease the "
+                "batch size or enlarge the split")
         while True:
             yield from self
 

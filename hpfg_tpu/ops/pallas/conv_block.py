@@ -1,0 +1,769 @@
+"""Fused UNet ConvBlock (Pallas TPU kernels).
+
+The reference ConvBlock (conv3x3 - BN - LeakyReLU - Dropout - conv3x3 - BN -
+LeakyReLU, reference: model/unet.py:12-28) dominates the UNet train step at
+the large-spatial / small-channel stages (16-64 channels at 224²/112²). The
+XLA lowering runs it as ~20 memory-bound ops per block, each wasting 7/8 of
+the 128-lane axis because the channel count rides the minor dimension
+(profiled at ~0.2 TB/s effective on v5e, ~25% of HBM peak).
+
+TPU-first redesign in this module:
+
+  * activations are processed in PACKED row form [H, W*C] — the (W, C) axes
+    collapse onto the lane axis so every VMEM tile is 100% occupied;
+  * the 3x3 conv becomes ONE dense MXU matmul per image:
+    im2col A = [H*W/8, 30C] built from lane-rolls + tile-aligned reshapes
+    (group stride 8C is a multiple of 128 for C in {16, 32, 64, ...}),
+    weights expanded to a block-structured [30C, 8F] matrix (8 output pixels
+    per MXU column group -> the N axis is full, ~30% dense);
+  * BatchNorm statistics are per-lane sums accumulated ACROSS the batch grid
+    in the same pass as the conv (no separate reduce ops), finalized by tiny
+    jnp glue; normalization + LeakyReLU + dropout fuse into the next conv's
+    input load;
+  * train mode needs two batch-stat sync points, so the block runs as three
+    kernels (conv1+stats -> bn1+act+drop+conv2+stats -> bn2+act); everything
+    else stays in VMEM.
+
+The backward pass is Pallas too (wired via jax.custom_vjp): the BN+LeakyReLU
+backward reduces to per-lane sums [Σdz, Σdz·x̂] (one reduction kernel, which
+also IS (dbias, dscale)); dpre = a·(dz − S0/N − x̂·S1/N) materializes in one
+elementwise kernel; the conv input-gradient is ANOTHER packed conv with
+flip-transposed expanded weights; and the weight gradient is a single
+im2colᵀ @ grouped-cotangent matmul per image ([30C, HW/8] x [HW/8, 8F] —
+full-lane MXU shapes), accumulated across the batch grid and folded back to
+[3,3,C,F] with the placement tensor. Everything is gradchecked against
+jax.grad of the pure-jnp reference in tests/test_fused_conv_block.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.01
+BN_EPS = 1e-5
+PIX = 8  # output pixels per MXU column group
+
+
+class ConvBlockParams(NamedTuple):
+    w1: jax.Array  # [3, 3, C, F]
+    b1: jax.Array  # [F]
+    scale1: jax.Array
+    bias1: jax.Array
+    w2: jax.Array  # [3, 3, F, F]
+    b2: jax.Array
+    scale2: jax.Array
+    bias2: jax.Array
+
+
+def supported(h: int, w: int, c: int, f: int) -> bool:
+    """Shapes the packed kernels handle: lane-aligned groups (stride
+    PIX*C % 128 == 0) and an even split of W into PIX-pixel groups."""
+    if w % PIX != 0:
+        return False
+    if f % 16 != 0 or f > 128:
+        return False
+    return c == 1 or (c % 16 == 0 and c <= 128)
+
+
+# elements per im2col chunk — 56 rows x 3584 lanes is measured-safe against
+# Mosaic's 16M scoped-vmem limit; wider W*C rows take fewer rows per chunk
+_CHUNK_BUDGET = 56 * 3584
+
+
+def _row_chunk(h: int, wl: int) -> int:
+    """Rows per in-kernel im2col chunk (VMEM sizing); divides h."""
+    for th in (56, 32, 28, 16, 14, 8, 7, 4, 2):
+        if h % th == 0 and th * wl <= _CHUNK_BUDGET:
+            return th
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# weight expansion (jnp, tiny tensors — runs in the surrounding jit)
+# ---------------------------------------------------------------------------
+
+_PLACEMENT_CACHE: dict[int, np.ndarray] = {}
+
+
+def _placement(c: int) -> np.ndarray:
+    """Constant indicator T[j, p, dx, ci] = 1 iff im2col slab lane j feeds
+    output pixel p through conv tap dx / input channel ci."""
+    if c not in _PLACEMENT_CACHE:
+        kdy = (PIX + 2) * c
+        t = np.zeros((kdy, PIX, 3, c), np.float32)
+        for dx in range(3):
+            for p in range(PIX):
+                for ci in range(c):
+                    t[(p + dx) * c + ci, p, dx, ci] = 1.0
+        _PLACEMENT_CACHE[c] = t.reshape(kdy * PIX, 3 * c)
+    return _PLACEMENT_CACHE[c]
+
+
+def expand_weights(w: jax.Array) -> jax.Array:
+    """[3, 3, C, F] -> block-structured [3 * (PIX+2)*C, PIX*F].
+
+    Column group p (output pixel p of a PIX-pixel group) reads input lanes
+    [(p+dx)*C, (p+dx+1)*C) of the dy-th slab; everything else is zero. The
+    matmul A[HW/PIX, 30C] @ W_big[30C, 8F] then computes PIX output pixels
+    x F channels per row at once. Built with ONE contraction against a
+    cached 0/1 placement tensor (a python scatter loop would trace to ~72
+    tiny HLO ops per block per step)."""
+    _, _, c, f = w.shape
+    kdy = (PIX + 2) * c
+    t = jnp.asarray(_placement(c), w.dtype)
+    wr = w.reshape(3, 3 * c, f)            # [dy, dx*c+ci, f]
+    out = jnp.einsum("kx,yxf->ykf", t, wr)  # [3, kdy*PIX, f]
+    return out.reshape(3, kdy, PIX, f).reshape(3 * kdy, PIX * f)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers
+# ---------------------------------------------------------------------------
+
+def _lane_index(h, l):
+    return jax.lax.broadcasted_iota(jnp.int32, (h, l), dimension=1)
+
+
+def _roll(x, shift, axis):
+    """pltpu.roll with jnp.roll semantics for negative shifts."""
+    return pltpu.roll(x, shift % x.shape[axis], axis)
+
+
+def _rows(x_ref, y0, th, h, transform):
+    """rows [y0, y0+th) of x_ref[0] (static bounds), zero rows outside the
+    image; ``transform(rows, lo, hi)`` (elementwise, may slice sibling refs
+    with the same static bounds) is applied to the valid rows."""
+    lo, hi = max(y0, 0), min(y0 + th, h)
+    body = transform(x_ref[0, lo:hi].astype(jnp.float32), lo, hi)
+    parts = []
+    if lo > y0:
+        parts.append(jnp.zeros((lo - y0, body.shape[1]), body.dtype))
+    parts.append(body)
+    if hi < y0 + th:
+        parts.append(jnp.zeros((y0 + th - hi, body.shape[1]), body.dtype))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else body
+
+
+def _im2col_dy(xs, c, w):
+    """One dy slab of the im2col matrix.
+
+    xs: [TH, W*C] (already dy-shifted rows). Returns [TH*W/PIX, (PIX+2)*C]:
+    group g covers input lanes [PIX*C*g - C, PIX*C*g + (PIX+1)*C) with zero
+    padding at the row borders (SAME conv). Group stride PIX*C is a multiple
+    of 128 for C >= 16, so the reshapes are tile-aligned.
+    """
+    th, l = xs.shape
+    lane = _lane_index(th, l)
+    # left piece: roll +C brings lanes [G*g - C, G*g + (PIX-1)*C) into the
+    # aligned group window (G = PIX*C); wrapped lanes (w = -1) must be zero
+    left = _roll(xs, c, 1)
+    left = jnp.where(lane < c, 0.0, left).reshape(th * w // PIX, PIX * c)
+    # right piece: roll -(PIX-1)*C brings [G*g + (PIX-1)*C, ...); wrapped
+    # lanes (w >= W) must be zero. First 2C lanes of each group are used.
+    right = _roll(xs, -(PIX - 1) * c, 1)
+    right = jnp.where(lane >= l - (PIX - 1) * c, 0.0, right)
+    right = right.reshape(th * w // PIX, PIX * c)[:, :2 * c]
+    return jnp.concatenate([left, right], axis=1)
+
+
+def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h,
+               transform, dtype, post=None):
+    """Chunked packed-row 3x3 SAME conv over one image.
+
+    Reads x_ref[0] ([H, W*C]) in _row_chunk-row chunks (+-1 halo rows via
+    static slicing), applies ``transform`` to the input rows (BN affine /
+    dropout fusion for conv2), matmuls against the expanded weights and
+    writes out_ref[0] rows. ``post(o, lo, hi)`` post-processes output rows
+    (e.g. the dropout-mask multiply of a dgrad). Returns accumulated
+    per-lane [sum, sum^2] when ``sums`` is not None.
+    """
+    th = _row_chunk(h, w * max(c, f))
+    mm = x_ref.dtype if x_ref.dtype != jnp.float32 else jnp.float32
+    for y0 in range(0, h, th):
+        slabs = []
+        for dy in (-1, 0, 1):
+            # rolls stay in fp32: Mosaic's lane rotate only supports
+            # 32-bit data; the matmul operand is cast afterwards
+            rows = _rows(x_ref, y0 + dy, th, h, transform)
+            slabs.append(_im2col_dy(rows, c, w))
+        a = jnp.concatenate(slabs, axis=1).astype(mm)  # [TH*W/PIX, 30C]
+        o = jax.lax.dot_general(
+            a, wbig_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [TH*W/PIX, PIX*F]
+        o = o.reshape(th, w * f)
+        if bvec_ref is not None:
+            o = o + bvec_ref[0]
+        if post is not None:
+            o = post(o, y0, y0 + th)
+        out_ref[0, y0:y0 + th] = o.astype(dtype)
+        if sums is not None:
+            sums[0] = sums[0] + jnp.sum(o, axis=0)
+            sums[1] = sums[1] + jnp.sum(o * o, axis=0)
+    return sums
+
+
+# NOTE: a single-input-channel stem is handled by zero-padding the channel
+# axis to 16 in the host wrapper (_forward) and reusing the general packed
+# path — pltpu.repeat tiles rather than element-repeats, so a dedicated
+# VPU stem kernel would need an expensive lane permutation instead.
+
+
+def _affine_lrelu(y, a_ref, b_ref):
+    """Per-lane affine (folded BN) + LeakyReLU, fp32 in/out."""
+    z = y * a_ref[0] + b_ref[0]
+    return jnp.where(z >= 0, z, z * LRELU_SLOPE)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _flush_stats(sums_ref, local):
+    if local is None:
+        return
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    sums_ref[0] += local[0]
+    sums_ref[1] += local[1]
+
+
+def _new_local(want_stats, lf):
+    if not want_stats:
+        return None
+    return [jnp.zeros(lf, jnp.float32), jnp.zeros(lf, jnp.float32)]
+
+
+def _conv_stats_kernel(x_ref, wbig_ref, bvec_ref, h_ref, sums_ref, *,
+                       c, f, w, h, want_stats, dtype):
+    """conv3x3 + bias; optionally accumulate per-lane [sum, sum^2] across the
+    batch grid (sums_ref revisited with a constant index map)."""
+    local = _new_local(want_stats, w * f)
+    local = _conv_rows(x_ref, wbig_ref, bvec_ref, h_ref, local,
+                       c=c, f=f, w=w, h=h,
+                       transform=lambda r, lo, hi: r, dtype=dtype)
+    _flush_stats(sums_ref, local)
+
+
+def _bn_act_conv_stats_kernel(h_ref, a_ref, b_ref, mask_ref, wbig_ref,
+                              bvec_ref, g_ref, sums_ref, *,
+                              c, f, w, h, want_stats, use_mask, dtype):
+    """BN-affine + LeakyReLU (+ dropout mask) on conv1 output fused into the
+    conv2 input load, then conv2 (+ stats). c here is conv2's input channel
+    count (= conv1's F)."""
+
+    def transform(rows, lo, hi):
+        z = rows * a_ref[0] + b_ref[0]
+        z = jnp.where(z >= 0, z, z * LRELU_SLOPE)
+        if use_mask:
+            z = z * mask_ref[0, lo:hi].astype(jnp.float32)
+        return z
+
+    local = _new_local(want_stats, w * f)
+    local = _conv_rows(h_ref, wbig_ref, bvec_ref, g_ref, local,
+                       c=c, f=f, w=w, h=h, transform=transform, dtype=dtype)
+    _flush_stats(sums_ref, local)
+
+
+def _bn_act_kernel(g_ref, a_ref, b_ref, y_ref):
+    y_ref[0] = _affine_lrelu(
+        g_ref[0].astype(jnp.float32), a_ref, b_ref).astype(y_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+def _vec_spec(n):
+    return pl.BlockSpec((1, n), lambda b: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _row_spec(h, l):
+    return pl.BlockSpec((1, h, l), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _sums_spec(lf):
+    return pl.BlockSpec((2, lf), lambda b: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _conv_stats(x2, wbig, bvec, *, c, f, h, w, want_stats,
+                dtype, interpret=False):
+    b = x2.shape[0]
+    lf = w * f
+    kernel = functools.partial(_conv_stats_kernel, c=c, f=f, w=w, h=h,
+                               want_stats=want_stats, dtype=dtype)
+    wspec = pl.BlockSpec(wbig.shape, lambda b: (0,) * wbig.ndim,
+                         memory_space=pltpu.VMEM)
+    out, sums = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[_row_spec(h, x2.shape[-1]), wspec, _vec_spec(lf)],
+        out_specs=[_row_spec(h, lf), _sums_spec(lf)],
+        out_shape=[jax.ShapeDtypeStruct((b, h, lf), dtype),
+                   jax.ShapeDtypeStruct((2, lf), jnp.float32)],
+        interpret=interpret,
+    )(x2, wbig, bvec.reshape(1, lf))
+    return out, sums
+
+
+def _bn_act_conv_stats(h2, avec, bvec_aff, mask2, wbig, bvec, *, c, f, h, w,
+                       want_stats, dtype, interpret=False):
+    b = h2.shape[0]
+    lc, lf = w * c, w * f
+    use_mask = mask2 is not None
+    kernel = functools.partial(_bn_act_conv_stats_kernel, c=c, f=f, w=w, h=h,
+                               want_stats=want_stats, use_mask=use_mask,
+                               dtype=dtype)
+    if mask2 is None:  # feed a dummy 1-row array; kernel never reads it
+        mask2 = jnp.zeros((b, 1, 128), dtype)
+        mask_spec = pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_spec = _row_spec(h, lc)
+    out, sums = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[_row_spec(h, lc), _vec_spec(lc), _vec_spec(lc), mask_spec,
+                  pl.BlockSpec(wbig.shape, lambda b: (0, 0),
+                               memory_space=pltpu.VMEM), _vec_spec(lf)],
+        out_specs=[_row_spec(h, lf), _sums_spec(lf)],
+        out_shape=[jax.ShapeDtypeStruct((b, h, lf), dtype),
+                   jax.ShapeDtypeStruct((2, lf), jnp.float32)],
+        interpret=interpret,
+    )(h2, avec.reshape(1, lc), bvec_aff.reshape(1, lc), mask2, wbig,
+      bvec.reshape(1, lf))
+    return out, sums
+
+
+def _bn_act_apply(g2, avec, bvec_aff, *, h, w, f, dtype, interpret=False):
+    b = g2.shape[0]
+    lf = w * f
+    return pl.pallas_call(
+        _bn_act_kernel,
+        grid=(b,),
+        in_specs=[_row_spec(h, lf), _vec_spec(lf), _vec_spec(lf)],
+        out_specs=_row_spec(h, lf),
+        out_shape=jax.ShapeDtypeStruct((b, h, lf), dtype),
+        interpret=interpret,
+    )(g2, avec.reshape(1, lf), bvec_aff.reshape(1, lf))
+
+
+# ---------------------------------------------------------------------------
+# statistics glue
+# ---------------------------------------------------------------------------
+
+def _finalize_stats(sums, n, f):
+    """Per-lane [2, W*F] sums -> per-channel (mean, biased var) [F]."""
+    folded = sums.reshape(2, -1, f).sum(axis=1)
+    mean = folded[0] / n
+    var = folded[1] / n - mean * mean
+    return mean, jnp.maximum(var, 0.0)
+
+
+def _affine(scale, bias, mean, var, w):
+    """Fold BN into a per-lane affine: a = scale/sqrt(var+eps),
+    b = bias - a*mean, tiled W times to per-lane vectors."""
+    a = scale / jnp.sqrt(var + BN_EPS)
+    b = bias - a * mean
+    return jnp.tile(a, w).astype(jnp.float32), jnp.tile(b, w).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# public forward
+# ---------------------------------------------------------------------------
+
+class FusedStats(NamedTuple):
+    mean1: jax.Array
+    var1: jax.Array
+    mean2: jax.Array
+    var2: jax.Array
+
+
+def _pack(x):
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w * c)
+
+
+def _unpack(x2, w, c):
+    b, h, _ = x2.shape
+    return x2.reshape(b, h, w, c)
+
+
+def _forward(x, params: ConvBlockParams, mask, run_stats, train: bool,
+             interpret: bool = False):
+    """Returns (y, h2, g2, batch_stats) — h2/g2 are the PACKED pre-BN conv
+    outputs kept as custom-vjp residuals. In eval mode batch_stats echoes
+    ``run_stats``."""
+    b, h, w, c = x.shape
+    f = params.w1.shape[-1]
+    dtype = x.dtype
+    n = b * h * w
+
+    if c == 1:
+        # single-channel stem: zero-pad to 16 channels and reuse the
+        # packed-lane path (pad cost is one cheap formatting pass)
+        c = 16
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 15)))
+        w1 = jnp.pad(params.w1, ((0, 0), (0, 0), (0, 15), (0, 0)))
+        w1 = expand_weights(w1.astype(dtype))
+    else:
+        w1 = expand_weights(params.w1.astype(dtype))
+    w2 = expand_weights(params.w2.astype(dtype))
+    b1vec = jnp.tile(params.b1.astype(jnp.float32), w)
+    b2vec = jnp.tile(params.b2.astype(jnp.float32), w)
+
+    x2 = _pack(x)
+    h2, sums1 = _conv_stats(x2, w1, b1vec, c=c, f=f, h=h, w=w,
+                            want_stats=train, dtype=dtype, interpret=interpret)
+    if train:
+        mean1, var1 = _finalize_stats(sums1, n, f)
+    else:
+        mean1, var1 = run_stats.mean1, run_stats.var1
+    a1, aff_b1 = _affine(params.scale1, params.bias1, mean1, var1, w)
+
+    mask2 = _pack(mask) if mask is not None else None
+    g2, sums2 = _bn_act_conv_stats(h2, a1, aff_b1, mask2, w2, b2vec, c=f, f=f,
+                                   h=h, w=w, want_stats=train, dtype=dtype,
+                                   interpret=interpret)
+    if train:
+        mean2, var2 = _finalize_stats(sums2, n, f)
+    else:
+        mean2, var2 = run_stats.mean2, run_stats.var2
+    a2, aff_b2 = _affine(params.scale2, params.bias2, mean2, var2, w)
+
+    y2 = _bn_act_apply(g2, a2, aff_b2, h=h, w=w, f=f, dtype=dtype,
+                       interpret=interpret)
+    stats = FusedStats(mean1, var1, mean2, var2)
+    return _unpack(y2, w, f), h2, g2, stats
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward
+#
+# Per conv+BN+LeakyReLU stage, with residual pre-BN output `pre`, per-lane
+# folded affine (a = γ·inv, b = β − a·μ) and x̂ = (pre − μ)·inv:
+#   dz = dy · lrelu'(a·pre + b)
+#   dpre = a · (dz − S0/N − x̂·S1/N)      (train-BN backward)
+# where S0 = Σdz, S1 = Σdz·x̂ per channel give (dbias, dscale) directly.
+# dgrad w.r.t. the conv input is ANOTHER packed conv (flipped/transposed
+# expanded weights); wgrad is im2colᵀ @ grouped-cotangent, accumulated over
+# the batch grid and folded by the placement tensor. Conv biases feed BN
+# directly, so their gradients are exactly zero (mean shift washes out).
+# ---------------------------------------------------------------------------
+
+def _dz_xhat(dy, pre, a, b, m, inv):
+    z = pre * a + b
+    dz = dy * jnp.where(z >= 0, 1.0, LRELU_SLOPE)
+    xhat = (pre - m) * inv
+    return dz, xhat
+
+
+def _bwd_reduce_kernel(dy_ref, pre_ref, a_ref, b_ref, m_ref, inv_ref,
+                       sums_ref, *, h):
+    """Accumulate per-lane [Σdz, Σdz·x̂] across the batch grid."""
+    th = _row_chunk(h, dy_ref.shape[-1])
+    s0 = jnp.zeros(dy_ref.shape[-1], jnp.float32)
+    s1 = jnp.zeros(dy_ref.shape[-1], jnp.float32)
+    for y0 in range(0, h, th):
+        dy = dy_ref[0, y0:y0 + th].astype(jnp.float32)
+        pre = pre_ref[0, y0:y0 + th].astype(jnp.float32)
+        dz, xhat = _dz_xhat(dy, pre, a_ref[0], b_ref[0], m_ref[0], inv_ref[0])
+        s0 = s0 + jnp.sum(dz, axis=0)
+        s1 = s1 + jnp.sum(dz * xhat, axis=0)
+    _flush_stats(sums_ref, [s0, s1])
+
+
+def _dpre_kernel(dy_ref, pre_ref, a_ref, b_ref, m_ref, inv_ref, u_ref,
+                 v_ref, out_ref):
+    """Materialize dpre = a·(dz − u − x̂·v) (the train-BN backward)."""
+    dy = dy_ref[0].astype(jnp.float32)
+    pre = pre_ref[0].astype(jnp.float32)
+    dz, xhat = _dz_xhat(dy, pre, a_ref[0], b_ref[0], m_ref[0], inv_ref[0])
+    out_ref[0] = (a_ref[0] * (dz - u_ref[0] - xhat * v_ref[0])).astype(
+        out_ref.dtype)
+
+
+def _dgrad_kernel(dpre_ref, wbig_ref, mask_ref, out_ref, *, c, f, w, h,
+                  use_mask, dtype):
+    """Conv-input gradient: packed conv of dpre with the flip-transposed
+    expanded weights; the dropout mask multiplies the OUTPUT rows."""
+    post = None
+    if use_mask:
+        def post(o, lo, hi):
+            return o * mask_ref[0, lo:hi].astype(jnp.float32)
+    _conv_rows(dpre_ref, wbig_ref, None, out_ref, None, c=c, f=f, w=w, h=h,
+               transform=lambda r, lo, hi: r, dtype=dtype, post=post)
+
+
+def _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, out_ref, *,
+                  c, f, w, h, mode):
+    """Accumulate dW_big[3*(PIX+2)C, PIX*F] = im2col(A)ᵀ @ groups(dpre).
+
+    mode selects the A-operand transform: 'identity' (conv1: raw input) or
+    'act' (conv2: recompute d = mask·lrelu(aff1(h)) from the h residual).
+    """
+    th = _row_chunk(h, w * max(c, f))
+
+    def transform(rows, lo, hi):
+        if mode == "identity":
+            return rows
+        z = rows * a_ref[0] + b_ref[0]
+        z = jnp.where(z >= 0, z, z * LRELU_SLOPE)
+        if mask_ref is not None:
+            z = z * mask_ref[0, lo:hi].astype(jnp.float32)
+        return z
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    mm = src_ref.dtype if src_ref.dtype != jnp.float32 else jnp.float32
+    for y0 in range(0, h, th):
+        slabs = []
+        for dy in (-1, 0, 1):
+            rows = _rows(src_ref, y0 + dy, th, h, transform)
+            slabs.append(_im2col_dy(rows, c, w))
+        a = jnp.concatenate(slabs, axis=1).astype(mm)    # [TH*W/8, 30C]
+        bgrp = dpre_ref[0, y0:y0 + th].astype(mm).reshape(
+            th * w // PIX, PIX * f)                      # [TH*W/8, 8F]
+        out_ref[:] += jax.lax.dot_general(
+            a, bgrp, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [30C, 8F]
+
+
+def _fold_wgrad(dw_big: jax.Array, c: int, f: int) -> jax.Array:
+    """[3*(PIX+2)C, PIX*F] -> [3, 3, C, F] (transpose of expand_weights)."""
+    kdy = (PIX + 2) * c
+    t = jnp.asarray(_placement(c), dw_big.dtype)  # [kdy*PIX, 3c]
+    d = dw_big.reshape(3, kdy, PIX, f).reshape(3, kdy * PIX, f)
+    out = jnp.einsum("kx,ykf->yxf", t, d)         # [3, 3c, f]
+    return out.reshape(3, 3, c, f)
+
+
+def _bwd_reduce(dy2, pre2, a, bvec, m, inv, *, h, w, f, interpret):
+    b = dy2.shape[0]
+    lf = w * f
+    vec = lambda v: v.reshape(1, lf)
+    return pl.pallas_call(
+        functools.partial(_bwd_reduce_kernel, h=h),
+        grid=(b,),
+        in_specs=[_row_spec(h, lf)] * 2 + [_vec_spec(lf)] * 4,
+        out_specs=_sums_spec(lf),
+        out_shape=jax.ShapeDtypeStruct((2, lf), jnp.float32),
+        interpret=interpret,
+    )(dy2, pre2, vec(a), vec(bvec), vec(m), vec(inv))
+
+
+def _dpre(dy2, pre2, vecs, *, h, w, f, dtype, interpret):
+    b = dy2.shape[0]
+    lf = w * f
+    return pl.pallas_call(
+        _dpre_kernel,
+        grid=(b,),
+        in_specs=[_row_spec(h, lf)] * 2 + [_vec_spec(lf)] * 6,
+        out_specs=_row_spec(h, lf),
+        out_shape=jax.ShapeDtypeStruct((b, h, lf), dtype),
+        interpret=interpret,
+    )(dy2, pre2, *[v.reshape(1, lf) for v in vecs])
+
+
+def _dgrad(dpre2, wflip, mask2, *, c, f, w, h, dtype, interpret):
+    """dpre2: [B, H, W*F] cotangent of the conv output; returns the
+    cotangent of the conv input [B, H, W*C]. (c, f) are the FORWARD conv's
+    in/out channels, so the flipped weights map F -> C."""
+    b = dpre2.shape[0]
+    use_mask = mask2 is not None
+    if mask2 is None:
+        mask2 = jnp.zeros((b, 1, 128), dtype)
+        mask_spec = pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_spec = _row_spec(h, w * c)
+    kernel = functools.partial(_dgrad_kernel, c=f, f=c, w=w, h=h,
+                               use_mask=use_mask, dtype=dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[_row_spec(h, w * f),
+                  pl.BlockSpec(wflip.shape, lambda b: (0, 0),
+                               memory_space=pltpu.VMEM), mask_spec],
+        out_specs=_row_spec(h, w * c),
+        out_shape=jax.ShapeDtypeStruct((b, h, w * c), dtype),
+        interpret=interpret,
+    )(dpre2, wflip, mask2)
+
+
+def _wgrad(src2, dpre2, mode, aff, mask2, *, c, f, w, h, interpret):
+    b = src2.shape[0]
+    lc = w * c
+    kdy = (PIX + 2) * c
+    if aff is None:
+        aff = (jnp.zeros(lc, jnp.float32), jnp.zeros(lc, jnp.float32))
+    if mask2 is None:
+        mask_ref_spec = pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM)
+        mask2 = jnp.zeros((b, 1, 128), src2.dtype)
+        has_mask = False
+    else:
+        mask_ref_spec = _row_spec(h, lc)
+        has_mask = True
+
+    def kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, out_ref):
+        _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref,
+                      mask_ref if has_mask else None, out_ref,
+                      c=c, f=f, w=w, h=h, mode=mode)
+
+    dw_big = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[_row_spec(h, lc), _row_spec(h, w * f),
+                  _vec_spec(lc), _vec_spec(lc), mask_ref_spec],
+        out_specs=pl.BlockSpec((3 * kdy, PIX * f), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3 * kdy, PIX * f), jnp.float32),
+        interpret=interpret,
+    )(src2, dpre2, aff[0].reshape(1, lc), aff[1].reshape(1, lc), mask2)
+    return _fold_wgrad(dw_big, c, f)
+
+
+def _conv3x3(x, w):
+    """Plain conv used by the jnp reference implementation."""
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+# full custom-vjp assembly ---------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_conv_block(x, params: ConvBlockParams, mask, train: bool,
+                     interpret: bool, run_stats: FusedStats | None):
+    """Fused block forward. ``mask`` is the pre-scaled dropout mask (or
+    None); ``run_stats`` feeds eval-mode normalization (None in train mode).
+    Returns (y, batch FusedStats). Positional args only (custom_vjp)."""
+    y, _, _, stats = _forward(x, params, mask, run_stats, train, interpret)
+    return y, stats
+
+
+def _fwd(x, params, mask, train, interpret, run_stats):
+    y, h2, g2, stats = _forward(x, params, mask, run_stats, train, interpret)
+    mask2 = _pack(mask) if mask is not None else None
+    res = (x, params, mask2, h2, g2, stats)
+    return (y, stats), res
+
+
+def _fold_sums(s, w, f):
+    return s.reshape(2, w, f).sum(axis=1)
+
+
+def _bwd(train, interpret, res, cts):
+    dy, _ = cts  # no gradients flow through the returned statistics
+    x, params, mask2, h2, g2, stats = res
+    if not train:
+        raise NotImplementedError("fused_conv_block backward: train only")
+
+    b, hh, w, cin = x.shape
+    f = params.w1.shape[-1]
+    n = b * hh * w
+    dtype = h2.dtype
+    dy2 = _pack(dy).astype(dtype)
+    kw = dict(h=hh, w=w, f=f, interpret=interpret)
+
+    # ---- stage 2: BN2+LeakyReLU backward, conv2 dgrad/wgrad -------------
+    a2l, b2l = _affine(params.scale2, params.bias2, stats.mean2, stats.var2, w)
+    tile = lambda v: jnp.tile(v.astype(jnp.float32), w)
+    m2l, inv2l = tile(stats.mean2), tile(1.0 / jnp.sqrt(stats.var2 + BN_EPS))
+    s2 = _fold_sums(_bwd_reduce(dy2, g2, a2l, b2l, m2l, inv2l, **kw), w, f)
+    dbias2, dscale2 = s2[0], s2[1]
+    dg2 = _dpre(dy2, g2, (a2l, b2l, m2l, inv2l, tile(s2[0] / n),
+                          tile(s2[1] / n)), dtype=dtype, **kw)
+
+    a1l, b1l = _affine(params.scale1, params.bias1, stats.mean1, stats.var1, w)
+    wflip2 = expand_weights(
+        jnp.flip(params.w2, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype))
+    dd2 = _dgrad(dg2, wflip2, mask2, c=f, f=f, w=w, h=hh, dtype=dtype,
+                 interpret=interpret)
+    dw2 = _wgrad(h2, dg2, "act", (a1l, b1l), mask2, c=f, f=f, w=w, h=hh,
+                 interpret=interpret)
+
+    # ---- stage 1: BN1+LeakyReLU backward, conv1 dgrad/wgrad -------------
+    m1l, inv1l = tile(stats.mean1), tile(1.0 / jnp.sqrt(stats.var1 + BN_EPS))
+    s1 = _fold_sums(_bwd_reduce(dd2, h2, a1l, b1l, m1l, inv1l, **kw), w, f)
+    dbias1, dscale1 = s1[0], s1[1]
+    dh2 = _dpre(dd2, h2, (a1l, b1l, m1l, inv1l, tile(s1[0] / n),
+                          tile(s1[1] / n)), dtype=dtype, **kw)
+
+    cpad = 16 if cin == 1 else cin
+    if cin == 1:
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 15)))
+        w1p = jnp.pad(params.w1, ((0, 0), (0, 0), (0, 15), (0, 0)))
+    else:
+        xp, w1p = x, params.w1
+    wflip1 = expand_weights(
+        jnp.flip(w1p, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype))
+    dx2 = _dgrad(dh2, wflip1, None, c=cpad, f=f, w=w, h=hh, dtype=dtype,
+                 interpret=interpret)
+    dx = _unpack(dx2, w, cpad)[..., :cin]
+    dw1 = _wgrad(_pack(xp).astype(dtype), dh2, "identity", None, None,
+                 c=cpad, f=f, w=w, h=hh, interpret=interpret)[:, :, :cin, :]
+
+    # conv biases feed BN directly: a constant shift moves the batch mean
+    # by the same amount, so d(bias) is exactly zero in train mode
+    zero_b = jnp.zeros_like(params.b1)
+    dparams = ConvBlockParams(
+        w1=dw1.astype(params.w1.dtype), b1=zero_b.astype(params.b1.dtype),
+        scale1=dscale1.astype(params.scale1.dtype),
+        bias1=dbias1.astype(params.bias1.dtype),
+        w2=dw2.astype(params.w2.dtype),
+        b2=jnp.zeros_like(params.b2),
+        scale2=dscale2.astype(params.scale2.dtype),
+        bias2=dbias2.astype(params.bias2.dtype))
+    dmask = None if mask2 is None else jnp.zeros((b, hh, w, f), mask2.dtype)
+    return dx.astype(x.dtype), dparams, dmask, None
+
+
+fused_conv_block.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# pure-jnp reference (tests + documentation of exact semantics)
+# ---------------------------------------------------------------------------
+
+def conv_block_reference(x, params: ConvBlockParams, mask, train: bool,
+                         run_stats: FusedStats | None = None):
+    """Bitwise-simple reference of the fused block (flax ConvBlock semantics:
+    fp32 BN with biased batch variance, LeakyReLU 0.01, pre-scaled dropout
+    mask between the convs)."""
+    h = _conv3x3(x, params.w1.astype(x.dtype)) + params.b1
+
+    def bn(pre, scale, bias, mean, var):
+        inv = 1.0 / jnp.sqrt(var + BN_EPS)
+        z = (pre - mean) * inv * scale + bias
+        return jnp.where(z >= 0, z, z * LRELU_SLOPE)
+
+    if train:
+        m1 = jnp.mean(h, axis=(0, 1, 2))
+        v1 = jnp.mean(h * h, axis=(0, 1, 2)) - m1 * m1
+    else:
+        m1, v1 = run_stats.mean1, run_stats.var1
+    a = bn(h, params.scale1, params.bias1, m1, v1)
+    if mask is not None:
+        a = a * mask.astype(jnp.float32)
+    g = _conv3x3(a.astype(x.dtype), params.w2.astype(x.dtype)) + params.b2
+    if train:
+        m2 = jnp.mean(g, axis=(0, 1, 2))
+        v2 = jnp.mean(g * g, axis=(0, 1, 2)) - m2 * m2
+    else:
+        m2, v2 = run_stats.mean2, run_stats.var2
+    y = bn(g, params.scale2, params.bias2, m2, v2)
+    return y.astype(x.dtype), FusedStats(m1, v1, m2, v2)

@@ -1,0 +1,142 @@
+"""Fused Pallas ConvBlock: kernel correctness (interpret mode) + flax
+module integration equality.
+
+The packed-lane kernel design is validated against the pure-jnp reference
+(conv_block_reference) and against the flax module path that serves as
+init/fallback — same parameter tree, same BN/dropout semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpfg_tpu.models import layers
+from hpfg_tpu.ops.pallas.conv_block import (
+    ConvBlockParams,
+    FusedStats,
+    _forward,
+    conv_block_reference,
+    fused_conv_block,
+    supported,
+)
+
+rng_np = np.random.default_rng(42)
+
+
+def _params(c, f, scale=0.2):
+    g = lambda *s: jnp.asarray(rng_np.normal(size=s) * scale, jnp.float32)
+    return ConvBlockParams(
+        w1=g(3, 3, c, f), b1=g(f), scale1=1.0 + 0.1 * g(f), bias1=0.1 * g(f),
+        w2=g(3, 3, f, f), b2=g(f), scale2=1.0 + 0.1 * g(f), bias2=0.1 * g(f))
+
+
+@pytest.mark.parametrize("c,f", [(1, 16), (16, 16), (16, 32), (32, 32), (64, 32)])
+def test_fused_forward_matches_reference(c, f):
+    params = _params(c, f)
+    x = jnp.asarray(rng_np.normal(size=(2, 16, 16, c)), jnp.float32)
+    mask = jnp.asarray((rng_np.random((2, 16, 16, f)) > 0.3) / 0.7, jnp.float32)
+    y_ref, st_ref = conv_block_reference(x, params, mask, True, None)
+    y, _, _, st = _forward(x, params, mask, None, True, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-3)
+    for a, b in zip(st, st_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_fused_eval_mode_matches_reference():
+    params = _params(16, 16)
+    x = jnp.asarray(rng_np.normal(size=(2, 16, 16, 16)), jnp.float32)
+    run = FusedStats(jnp.zeros(16), jnp.ones(16), jnp.zeros(16), jnp.ones(16))
+    y_ref, _ = conv_block_reference(x, params, None, False, run)
+    y, _, _, _ = _forward(x, params, None, run, False, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-3)
+
+
+@pytest.mark.parametrize("c,f,with_mask", [(16, 16, True), (1, 16, True),
+                                           (32, 16, False)])
+def test_fused_custom_vjp_matches_autodiff(c, f, with_mask):
+    params = _params(c, f)
+    x = jnp.asarray(rng_np.normal(size=(2, 16, 16, c)), jnp.float32)
+    mask = (jnp.asarray((rng_np.random((2, 16, 16, f)) > 0.3) / 0.7,
+                        jnp.float32) if with_mask else None)
+    dy = jnp.asarray(rng_np.normal(size=(2, 16, 16, f)), jnp.float32)
+
+    gx_r, gp_r = jax.grad(
+        lambda x, p: jnp.sum(conv_block_reference(x, p, mask, True, None)[0] * dy),
+        argnums=(0, 1))(x, params)
+    gx_f, gp_f = jax.grad(
+        lambda x, p: jnp.sum(fused_conv_block(x, p, mask, True, True, None)[0] * dy),
+        argnums=(0, 1))(x, params)
+
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=1e-4, rtol=1e-3)
+    gscale = max(float(jnp.max(jnp.abs(getattr(gp_r, n))))
+                 for n in params._fields)
+    for name in params._fields:
+        a, b = np.asarray(getattr(gp_r, name)), np.asarray(getattr(gp_f, name))
+        assert np.max(np.abs(a - b)) < 1e-4 * gscale + 1e-6, name
+
+
+def test_supported_shapes():
+    assert supported(224, 224, 16, 16)
+    assert supported(224, 224, 1, 16)
+    assert supported(112, 112, 64, 32)
+    assert not supported(224, 224, 24, 16)   # unaligned C (stride 192)
+    assert not supported(224, 220, 16, 16)   # W not a PIX multiple
+    assert not supported(56, 56, 256, 256)   # wide channels stay on XLA
+
+
+def test_convblock_module_fused_equals_flax():
+    """The flax ConvBlock with fused dispatch forced on (interpret mode on
+    CPU) matches the plain module path: forward, batch_stats update and
+    gradients. Dropout off — the two paths draw masks differently."""
+    x = jnp.asarray(rng_np.normal(size=(2, 16, 16, 16)), jnp.float32)
+    block = layers.ConvBlock(features=16, dropout_p=0.0, dtype=jnp.float32)
+    variables = block.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x, train=True)
+
+    def run(train):
+        outs = {}
+        for fused in (False, True):
+            layers.set_fused_conv(fused)
+            try:
+                if train:
+                    y, mut = block.apply(
+                        variables, x, train=True,
+                        rngs={"dropout": jax.random.PRNGKey(2)},
+                        mutable=["batch_stats"])
+                    outs[fused] = (y, mut["batch_stats"])
+                else:
+                    outs[fused] = (block.apply(variables, x, train=False), None)
+            finally:
+                layers.set_fused_conv(None)
+        return outs
+
+    for train in (True, False):
+        outs = run(train)
+        y0, st0 = outs[False]
+        y1, st1 = outs[True]
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-3)
+        if train:
+            for a, b in zip(jax.tree.leaves(st0), jax.tree.leaves(st1)):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           atol=1e-3)
+
+    # gradient equality through the module path
+    def loss(params, fused):
+        layers.set_fused_conv(fused)
+        try:
+            y, _ = block.apply({"params": params,
+                                "batch_stats": variables["batch_stats"]},
+                               x, train=True,
+                               rngs={"dropout": jax.random.PRNGKey(2)},
+                               mutable=["batch_stats"])
+            return jnp.sum(y ** 2)
+        finally:
+            layers.set_fused_conv(None)
+
+    g0 = jax.grad(lambda p: loss(p, False))(variables["params"])
+    g1 = jax.grad(lambda p: loss(p, True))(variables["params"])
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-3, rtol=1e-3)
