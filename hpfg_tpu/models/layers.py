@@ -147,17 +147,18 @@ class ConvBlock(nn.Module):
     def _use_fused(self, x: jnp.ndarray) -> bool:
         if self.is_initializing():
             return False  # flax path registers params/stats
-        from hpfg_tpu.ops.pallas.conv_block import supported
+        from hpfg_tpu.ops.pallas.conv_block import profitable, supported
 
-        enabled = _FUSED_CONV
-        if enabled is None:
-            # auto currently resolves to OFF: the Pallas forward beats XLA
-            # 2.9 vs 4.9 ms on the L1 block, but the analytic jnp backward
-            # does not yet — flips to TPU-on once the Pallas backward lands
-            enabled = False
-        return (enabled and x.ndim == 4
-                and supported(x.shape[1], x.shape[2], x.shape[3],
-                              self.features))
+        if x.ndim != 4 or not supported(x.shape[1], x.shape[2], x.shape[3],
+                                        self.features):
+            return False
+        if _FUSED_CONV is not None:
+            return _FUSED_CONV  # forced on (tests) / off
+        # auto: TPU only, and only the large-spatial stages where the
+        # packed kernels measurably beat the XLA lowering
+        return (jax.default_backend() == "tpu"
+                and profitable(x.shape[1], x.shape[2], x.shape[3],
+                               self.features))
 
     def _fused(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         from hpfg_tpu.ops.pallas import conv_block as cb
@@ -177,9 +178,11 @@ class ConvBlock(nn.Module):
         mask = None
         if train and self.dropout_p > 0.0:
             keep = 1.0 - self.dropout_p
+            # generated directly in the kernels' packed [B, H, W*F] form —
+            # iid noise needs no relayout
             bern = jax.random.bernoulli(
                 self.make_rng("dropout"), keep,
-                (*x.shape[:3], self.features))
+                (x.shape[0], x.shape[1], x.shape[2] * self.features))
             mask = bern.astype(self.dtype) / keep
 
         run_stats = None
@@ -201,6 +204,22 @@ class ConvBlock(nn.Module):
         return y.astype(self.dtype)
 
 
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 max pool via reshape+max (identical to
+    nn.max_pool((2,2),(2,2)) for even H/W).
+
+    TPU rationale: reduce_window lowers to a standalone op whose backward is
+    a SelectAndScatter (profiled at 1.2 + 1.0 ms per 224²x16 pool on v5e);
+    reshape+max fuses into neighbors and its autodiff backward is an
+    elementwise compare+select. Ties distribute gradient evenly instead of
+    picking one element — measure-zero for continuous activations."""
+    b, h, w, c = x.shape
+    if h % 2 or w % 2:
+        return nn.max_pool(x, (2, 2), strides=(2, 2))
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(2, 4))
+
+
 class DownBlock(nn.Module):
     """2x2 max-pool then ConvBlock (reference DownBlock, model/unet.py:31-42)."""
 
@@ -210,7 +229,7 @@ class DownBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = max_pool_2x2(x)
         return ConvBlock(self.features, self.dropout_p, self.dtype,
                          name="conv")(x, train)
 

@@ -50,6 +50,11 @@ LRELU_SLOPE = 0.01
 BN_EPS = 1e-5
 PIX = 8  # output pixels per MXU column group
 
+# Mosaic's default scoped-vmem limit is a conservative 16M; the wide dgrad
+# blocks (e.g. [224, 224*32] outputs) need more headroom for double-buffered
+# block windows + im2col temporaries.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 class ConvBlockParams(NamedTuple):
     w1: jax.Array  # [3, 3, C, F]
@@ -72,9 +77,19 @@ def supported(h: int, w: int, c: int, f: int) -> bool:
     return c == 1 or (c % 16 == 0 and c <= 128)
 
 
-# elements per im2col chunk — 56 rows x 3584 lanes is measured-safe against
-# Mosaic's 16M scoped-vmem limit; wider W*C rows take fewer rows per chunk
-_CHUNK_BUDGET = 56 * 3584
+def profitable(h: int, w: int, c: int, f: int) -> bool:
+    """Where the packed kernels beat XLA on TPU: the large-spatial,
+    small-channel stages whose minor-dim lane waste cripples the XLA
+    lowering (measured: 2.9 vs 4.9 ms fwd, 5.8 vs ~11 ms fwd+bwd at
+    224²x16). At 56² and below the channel counts are lane-friendly and
+    per-kernel fixed costs outweigh the win."""
+    return w >= 112 and max(c, f) <= 64
+
+
+# elements per im2col chunk. The binding constraint is Mosaic's 16M
+# scoped-vmem limit: double-buffered in/out blocks for a [224, 224*32]
+# kernel already take ~9.6M, so chunk temporaries must stay small.
+_CHUNK_BUDGET = 28 * 3584
 
 
 def _row_chunk(h: int, wl: int) -> int:
@@ -132,22 +147,28 @@ def _lane_index(h, l):
 
 
 def _roll(x, shift, axis):
-    """pltpu.roll with jnp.roll semantics for negative shifts."""
+    """Lane roll with jnp.roll semantics for negative shifts.
+
+    Mosaic's lane rotate only supports 32-bit data, so rolls run on fp32
+    rows. (A bf16 int32-bitcast roll is NOT equivalent on hardware: bf16
+    tiles pack SUBLANE pairs (2,1) into 32-bit words, so the reinterpreted
+    lanes don't correspond to adjacent bf16 lanes.)"""
+    assert x.dtype.itemsize == 4, x.dtype
     return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
-def _rows(x_ref, y0, th, h, transform):
-    """rows [y0, y0+th) of x_ref[0] (static bounds), zero rows outside the
-    image; ``transform(rows, lo, hi)`` (elementwise, may slice sibling refs
-    with the same static bounds) is applied to the valid rows."""
-    lo, hi = max(y0, 0), min(y0 + th, h)
+def _padded_rows(x_ref, y0, th, h, transform):
+    """rows [y0-1, y0+th+1) of x_ref[0] (static bounds) with zero rows
+    outside the image; ``transform(rows, lo, hi)`` (elementwise, may slice
+    sibling refs with the same static bounds) runs ONCE on the valid rows."""
+    lo, hi = max(y0 - 1, 0), min(y0 + th + 1, h)
     body = transform(x_ref[0, lo:hi].astype(jnp.float32), lo, hi)
     parts = []
-    if lo > y0:
-        parts.append(jnp.zeros((lo - y0, body.shape[1]), body.dtype))
+    if lo > y0 - 1:
+        parts.append(jnp.zeros((lo - (y0 - 1), body.shape[1]), body.dtype))
     parts.append(body)
-    if hi < y0 + th:
-        parts.append(jnp.zeros((y0 + th - hi, body.shape[1]), body.dtype))
+    if hi < y0 + th + 1:
+        parts.append(jnp.zeros((y0 + th + 1 - hi, body.shape[1]), body.dtype))
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else body
 
 
@@ -161,14 +182,15 @@ def _im2col_dy(xs, c, w):
     """
     th, l = xs.shape
     lane = _lane_index(th, l)
+    zero = jnp.zeros((), xs.dtype)
     # left piece: roll +C brings lanes [G*g - C, G*g + (PIX-1)*C) into the
     # aligned group window (G = PIX*C); wrapped lanes (w = -1) must be zero
     left = _roll(xs, c, 1)
-    left = jnp.where(lane < c, 0.0, left).reshape(th * w // PIX, PIX * c)
+    left = jnp.where(lane < c, zero, left).reshape(th * w // PIX, PIX * c)
     # right piece: roll -(PIX-1)*C brings [G*g + (PIX-1)*C, ...); wrapped
     # lanes (w >= W) must be zero. First 2C lanes of each group are used.
     right = _roll(xs, -(PIX - 1) * c, 1)
-    right = jnp.where(lane >= l - (PIX - 1) * c, 0.0, right)
+    right = jnp.where(lane >= l - (PIX - 1) * c, zero, right)
     right = right.reshape(th * w // PIX, PIX * c)[:, :2 * c]
     return jnp.concatenate([left, right], axis=1)
 
@@ -178,21 +200,18 @@ def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h,
     """Chunked packed-row 3x3 SAME conv over one image.
 
     Reads x_ref[0] ([H, W*C]) in _row_chunk-row chunks (+-1 halo rows via
-    static slicing), applies ``transform`` to the input rows (BN affine /
-    dropout fusion for conv2), matmuls against the expanded weights and
-    writes out_ref[0] rows. ``post(o, lo, hi)`` post-processes output rows
-    (e.g. the dropout-mask multiply of a dgrad). Returns accumulated
-    per-lane [sum, sum^2] when ``sums`` is not None.
+    static slicing), applies ``transform`` ONCE to the chunk's input rows
+    (BN affine / dropout fusion for conv2), matmuls against the expanded
+    weights and writes out_ref[0] rows. ``post(o, lo, hi)`` post-processes
+    output rows (e.g. the dropout-mask multiply of a dgrad). Returns
+    accumulated per-lane [sum, sum^2] when ``sums`` is not None.
     """
     th = _row_chunk(h, w * max(c, f))
     mm = x_ref.dtype if x_ref.dtype != jnp.float32 else jnp.float32
     for y0 in range(0, h, th):
-        slabs = []
-        for dy in (-1, 0, 1):
-            # rolls stay in fp32: Mosaic's lane rotate only supports
-            # 32-bit data; the matmul operand is cast afterwards
-            rows = _rows(x_ref, y0 + dy, th, h, transform)
-            slabs.append(_im2col_dy(rows, c, w))
+        ext = _padded_rows(x_ref, y0, th, h, transform)  # fp32 (rolls)
+        slabs = [_im2col_dy(ext[dy + 1:dy + 1 + th], c, w)
+                 for dy in (-1, 0, 1)]
         a = jnp.concatenate(slabs, axis=1).astype(mm)  # [TH*W/PIX, 30C]
         o = jax.lax.dot_general(
             a, wbig_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -311,6 +330,7 @@ def _conv_stats(x2, wbig, bvec, *, c, f, h, w, want_stats,
         out_shape=[jax.ShapeDtypeStruct((b, h, lf), dtype),
                    jax.ShapeDtypeStruct((2, lf), jnp.float32)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(x2, wbig, bvec.reshape(1, lf))
     return out, sums
 
@@ -339,6 +359,7 @@ def _bn_act_conv_stats(h2, avec, bvec_aff, mask2, wbig, bvec, *, c, f, h, w,
         out_shape=[jax.ShapeDtypeStruct((b, h, lf), dtype),
                    jax.ShapeDtypeStruct((2, lf), jnp.float32)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(h2, avec.reshape(1, lc), bvec_aff.reshape(1, lc), mask2, wbig,
       bvec.reshape(1, lf))
     return out, sums
@@ -354,6 +375,7 @@ def _bn_act_apply(g2, avec, bvec_aff, *, h, w, f, dtype, interpret=False):
         out_specs=_row_spec(h, lf),
         out_shape=jax.ShapeDtypeStruct((b, h, lf), dtype),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(g2, avec.reshape(1, lf), bvec_aff.reshape(1, lf))
 
 
@@ -430,8 +452,7 @@ def _forward(x, params: ConvBlockParams, mask, run_stats, train: bool,
         mean1, var1 = run_stats.mean1, run_stats.var1
     a1, aff_b1 = _affine(params.scale1, params.bias1, mean1, var1, w)
 
-    mask2 = _pack(mask) if mask is not None else None
-    g2, sums2 = _bn_act_conv_stats(h2, a1, aff_b1, mask2, w2, b2vec, c=f, f=f,
+    g2, sums2 = _bn_act_conv_stats(h2, a1, aff_b1, mask, w2, b2vec, c=f, f=f,
                                    h=h, w=w, want_stats=train, dtype=dtype,
                                    interpret=interpret)
     if train:
@@ -528,10 +549,9 @@ def _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, out_ref, *,
 
     mm = src_ref.dtype if src_ref.dtype != jnp.float32 else jnp.float32
     for y0 in range(0, h, th):
-        slabs = []
-        for dy in (-1, 0, 1):
-            rows = _rows(src_ref, y0 + dy, th, h, transform)
-            slabs.append(_im2col_dy(rows, c, w))
+        ext = _padded_rows(src_ref, y0, th, h, transform)  # fp32 (rolls)
+        slabs = [_im2col_dy(ext[dy + 1:dy + 1 + th], c, w)
+                 for dy in (-1, 0, 1)]
         a = jnp.concatenate(slabs, axis=1).astype(mm)    # [TH*W/8, 30C]
         bgrp = dpre_ref[0, y0:y0 + th].astype(mm).reshape(
             th * w // PIX, PIX * f)                      # [TH*W/8, 8F]
@@ -560,6 +580,7 @@ def _bwd_reduce(dy2, pre2, a, bvec, m, inv, *, h, w, f, interpret):
         out_specs=_sums_spec(lf),
         out_shape=jax.ShapeDtypeStruct((2, lf), jnp.float32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(dy2, pre2, vec(a), vec(bvec), vec(m), vec(inv))
 
 
@@ -573,6 +594,7 @@ def _dpre(dy2, pre2, vecs, *, h, w, f, dtype, interpret):
         out_specs=_row_spec(h, lf),
         out_shape=jax.ShapeDtypeStruct((b, h, lf), dtype),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(dy2, pre2, *[v.reshape(1, lf) for v in vecs])
 
 
@@ -599,6 +621,7 @@ def _dgrad(dpre2, wflip, mask2, *, c, f, w, h, dtype, interpret):
         out_specs=_row_spec(h, w * c),
         out_shape=jax.ShapeDtypeStruct((b, h, w * c), dtype),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(dpre2, wflip, mask2)
 
 
@@ -631,6 +654,7 @@ def _wgrad(src2, dpre2, mode, aff, mask2, *, c, f, w, h, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3 * kdy, PIX * f), jnp.float32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(src2, dpre2, aff[0].reshape(1, lc), aff[1].reshape(1, lc), mask2)
     return _fold_wgrad(dw_big, c, f)
 
@@ -648,7 +672,8 @@ def _conv3x3(x, w):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_conv_block(x, params: ConvBlockParams, mask, train: bool,
                      interpret: bool, run_stats: FusedStats | None):
-    """Fused block forward. ``mask`` is the pre-scaled dropout mask (or
+    """Fused block forward. ``mask`` is the pre-scaled dropout mask in
+    PACKED form [B, H, W*F] (or
     None); ``run_stats`` feeds eval-mode normalization (None in train mode).
     Returns (y, batch FusedStats). Positional args only (custom_vjp)."""
     y, _, _, stats = _forward(x, params, mask, run_stats, train, interpret)
@@ -657,8 +682,7 @@ def fused_conv_block(x, params: ConvBlockParams, mask, train: bool,
 
 def _fwd(x, params, mask, train, interpret, run_stats):
     y, h2, g2, stats = _forward(x, params, mask, run_stats, train, interpret)
-    mask2 = _pack(mask) if mask is not None else None
-    res = (x, params, mask2, h2, g2, stats)
+    res = (x, params, mask, h2, g2, stats)
     return (y, stats), res
 
 
@@ -728,7 +752,7 @@ def _bwd(train, interpret, res, cts):
         b2=jnp.zeros_like(params.b2),
         scale2=dscale2.astype(params.scale2.dtype),
         bias2=dbias2.astype(params.bias2.dtype))
-    dmask = None if mask2 is None else jnp.zeros((b, hh, w, f), mask2.dtype)
+    dmask = None if mask2 is None else jnp.zeros_like(mask2)
     return dx.astype(x.dtype), dparams, dmask, None
 
 

@@ -37,7 +37,8 @@ def test_fused_forward_matches_reference(c, f):
     x = jnp.asarray(rng_np.normal(size=(2, 16, 16, c)), jnp.float32)
     mask = jnp.asarray((rng_np.random((2, 16, 16, f)) > 0.3) / 0.7, jnp.float32)
     y_ref, st_ref = conv_block_reference(x, params, mask, True, None)
-    y, _, _, st = _forward(x, params, mask, None, True, interpret=True)
+    pm = None if mask is None else mask.reshape(mask.shape[0], mask.shape[1], -1)
+    y, _, _, st = _forward(x, params, pm, None, True, interpret=True)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-3)
     for a, b in zip(st, st_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
@@ -59,13 +60,14 @@ def test_fused_custom_vjp_matches_autodiff(c, f, with_mask):
     x = jnp.asarray(rng_np.normal(size=(2, 16, 16, c)), jnp.float32)
     mask = (jnp.asarray((rng_np.random((2, 16, 16, f)) > 0.3) / 0.7,
                         jnp.float32) if with_mask else None)
+    pm = None if mask is None else mask.reshape(2, 16, -1)  # packed form
     dy = jnp.asarray(rng_np.normal(size=(2, 16, 16, f)), jnp.float32)
 
     gx_r, gp_r = jax.grad(
         lambda x, p: jnp.sum(conv_block_reference(x, p, mask, True, None)[0] * dy),
         argnums=(0, 1))(x, params)
     gx_f, gp_f = jax.grad(
-        lambda x, p: jnp.sum(fused_conv_block(x, p, mask, True, True, None)[0] * dy),
+        lambda x, p: jnp.sum(fused_conv_block(x, p, pm, True, True, None)[0] * dy),
         argnums=(0, 1))(x, params)
 
     np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
