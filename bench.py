@@ -12,10 +12,10 @@ images, host-side data loading) — documented so the ratio is auditable.
 vs_baseline = measured / 800; the driver's north star is vs_baseline ≥ 5.
 
 Measurement notes (see CLAUDE.md): this dev environment reaches the TPU via
-a tunnel whose per-Execute overhead is ≈55 ms, which dominates the canonical
-8+24 batch (69 ms/iter total; measured pure-compute from batch-scaling is
-≈14 ms/iter ⇒ ≈2300 img/s ≈ 2.9x the A100 estimate on a real host). The
-canonical-batch, readback-verified number is reported — no overhead
+a tunnel; pipelined Execute dispatch costs <1 ms/iter (measured round 2 —
+a null jit loops at 0.64 ms and K-steps-per-Execute unrolling changes
+nothing), so the reported per-iter time is real serialized device compute.
+The canonical-batch, readback-verified number is reported — no overhead
 subtraction, no batch inflation.
 """
 

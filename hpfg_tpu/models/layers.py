@@ -51,6 +51,15 @@ def _align_corners_weights(in_size: int, out_size: int) -> np.ndarray:
     return w
 
 
+def _interp_precision(dtype) -> jax.lax.Precision:
+    """fp32 interpolation matmuls need HIGHEST (TPU fp32 'default' is a
+    3-pass bf16 decomposition — parity tests would drift); bf16 inputs take
+    the native single-pass MXU path (HIGHEST would force a 6x-cost fp32
+    upcast for an interpolation that is noise-level in bf16 training)."""
+    return (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+
 def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize with align_corners=True on NHWC via two separable
     matmuls (reference uses nn.Upsample(scale_factor=2, mode='bilinear',
@@ -60,10 +69,11 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jn
     h_out, w_out = out_hw
     if (h_in, w_in) == (h_out, w_out):
         return x
+    prec = _interp_precision(x.dtype)
     wh = jnp.asarray(_align_corners_weights(h_in, h_out), x.dtype)
     ww = jnp.asarray(_align_corners_weights(w_in, w_out), x.dtype)
-    x = jnp.einsum("oh,bhwc->bowc", wh, x, precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("ow,bhwc->bhoc", ww, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("oh,bhwc->bowc", wh, x, precision=prec)
+    x = jnp.einsum("ow,bhwc->bhoc", ww, x, precision=prec)
     return x
 
 
@@ -84,10 +94,11 @@ def adaptive_avg_pool(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     h_out, w_out = out_hw
     if (h_in, w_in) == (h_out, w_out):
         return x
+    prec = _interp_precision(x.dtype)
     wh = jnp.asarray(_adaptive_pool_weights(h_in, h_out), x.dtype)
     ww = jnp.asarray(_adaptive_pool_weights(w_in, w_out), x.dtype)
-    x = jnp.einsum("oh,bhwc->bowc", wh, x, precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("ow,bhwc->bhoc", ww, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("oh,bhwc->bowc", wh, x, precision=prec)
+    x = jnp.einsum("ow,bhwc->bhoc", ww, x, precision=prec)
     return x
 
 

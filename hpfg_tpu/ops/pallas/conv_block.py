@@ -172,27 +172,32 @@ def _padded_rows(x_ref, y0, th, h, transform):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else body
 
 
-def _im2col_dy(xs, c, w):
-    """One dy slab of the im2col matrix.
+def _rolled_pair(ext, c, w):
+    """The two lane-rolled copies of the EXTENDED chunk rows (one roll pair
+    for the whole chunk instead of one pair per dy slab — lane rolls run on
+    the fp32 VPU and were the dominant non-MXU cost at 6 rolls/chunk).
 
-    xs: [TH, W*C] (already dy-shifted rows). Returns [TH*W/PIX, (PIX+2)*C]:
-    group g covers input lanes [PIX*C*g - C, PIX*C*g + (PIX+1)*C) with zero
-    padding at the row borders (SAME conv). Group stride PIX*C is a multiple
-    of 128 for C >= 16, so the reshapes are tile-aligned.
+    ext: [TH+2, W*C]. Returns (left, right) with jnp.roll semantics and the
+    SAME-conv zero masks applied:
+      left  = roll(+C):        lanes [G*g - C, G*g + (PIX-1)*C) per group
+      right = roll(-(PIX-1)C): lanes [G*g + (PIX-1)*C, G*g + (PIX+1)*C)
     """
-    th, l = xs.shape
-    lane = _lane_index(th, l)
-    zero = jnp.zeros((), xs.dtype)
-    # left piece: roll +C brings lanes [G*g - C, G*g + (PIX-1)*C) into the
-    # aligned group window (G = PIX*C); wrapped lanes (w = -1) must be zero
-    left = _roll(xs, c, 1)
-    left = jnp.where(lane < c, zero, left).reshape(th * w // PIX, PIX * c)
-    # right piece: roll -(PIX-1)*C brings [G*g + (PIX-1)*C, ...); wrapped
-    # lanes (w >= W) must be zero. First 2C lanes of each group are used.
-    right = _roll(xs, -(PIX - 1) * c, 1)
-    right = jnp.where(lane >= l - (PIX - 1) * c, zero, right)
-    right = right.reshape(th * w // PIX, PIX * c)[:, :2 * c]
-    return jnp.concatenate([left, right], axis=1)
+    the, l = ext.shape
+    lane = _lane_index(the, l)
+    zero = jnp.zeros((), ext.dtype)
+    left = jnp.where(lane < c, zero, _roll(ext, c, 1))
+    right = jnp.where(lane >= l - (PIX - 1) * c, zero,
+                      _roll(ext, -(PIX - 1) * c, 1))
+    return left, right
+
+
+def _im2col_dy_windows(left, right, dy, th, c, w):
+    """dy-slab im2col from the pre-rolled chunk copies: slice the dy row
+    window and reshape into PIX-pixel groups ([TH*W/PIX, (PIX+2)*C]). Group
+    stride PIX*C is a multiple of 128 for C >= 16 (tile-aligned reshapes)."""
+    lw = left[dy + 1:dy + 1 + th].reshape(th * w // PIX, PIX * c)
+    rw = right[dy + 1:dy + 1 + th].reshape(th * w // PIX, PIX * c)[:, :2 * c]
+    return lw, rw
 
 
 def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h,
@@ -207,15 +212,20 @@ def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h,
     accumulated per-lane [sum, sum^2] when ``sums`` is not None.
     """
     th = _row_chunk(h, w * max(c, f))
+    kdy = (PIX + 2) * c
     mm = x_ref.dtype if x_ref.dtype != jnp.float32 else jnp.float32
     for y0 in range(0, h, th):
         ext = _padded_rows(x_ref, y0, th, h, transform)  # fp32 (rolls)
-        slabs = [_im2col_dy(ext[dy + 1:dy + 1 + th], c, w)
-                 for dy in (-1, 0, 1)]
-        a = jnp.concatenate(slabs, axis=1).astype(mm)  # [TH*W/PIX, 30C]
-        o = jax.lax.dot_general(
-            a, wbig_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [TH*W/PIX, PIX*F]
+        left, right = _rolled_pair(ext, c, w)  # ONE roll pair per chunk
+        o = None
+        for i, dy in enumerate((-1, 0, 1)):
+            lw, rw = _im2col_dy_windows(left, right, dy, th, c, w)
+            a = jnp.concatenate([lw, rw], axis=1).astype(mm)  # [*, 10C]
+            part = jax.lax.dot_general(
+                a, wbig_ref[i * kdy:(i + 1) * kdy],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [TH*W/PIX, PIX*F]
+            o = part if o is None else o + part
         o = o.reshape(th, w * f)
         if bvec_ref is not None:
             o = o + bvec_ref[0]
@@ -547,17 +557,19 @@ def _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, out_ref, *,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    kdy = (PIX + 2) * c
     mm = src_ref.dtype if src_ref.dtype != jnp.float32 else jnp.float32
     for y0 in range(0, h, th):
         ext = _padded_rows(src_ref, y0, th, h, transform)  # fp32 (rolls)
-        slabs = [_im2col_dy(ext[dy + 1:dy + 1 + th], c, w)
-                 for dy in (-1, 0, 1)]
-        a = jnp.concatenate(slabs, axis=1).astype(mm)    # [TH*W/8, 30C]
+        left, right = _rolled_pair(ext, c, w)
         bgrp = dpre_ref[0, y0:y0 + th].astype(mm).reshape(
             th * w // PIX, PIX * f)                      # [TH*W/8, 8F]
-        out_ref[:] += jax.lax.dot_general(
-            a, bgrp, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [30C, 8F]
+        for i, dy in enumerate((-1, 0, 1)):
+            lw, rw = _im2col_dy_windows(left, right, dy, th, c, w)
+            a = jnp.concatenate([lw, rw], axis=1).astype(mm)  # [*, 10C]
+            out_ref[i * kdy:(i + 1) * kdy] += jax.lax.dot_general(
+                a, bgrp, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [10C, 8F]
 
 
 def _fold_wgrad(dw_big: jax.Array, c: int, f: int) -> jax.Array:

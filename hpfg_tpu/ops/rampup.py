@@ -9,6 +9,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+#: The reference feeds ramp-ups an EPOCH counter derived as
+#: ``iter // 150`` — 150 iterations per nominal epoch is a constant baked
+#: into every reference trainer (e.g. 2017_03…ACDC.py:139 ``iter_num//150``).
+#: Algorithms read it from ``cfg.epoch_unit_iters`` (default below) so a
+#: config with a different epoch length can retune the ramp without code
+#: edits.
+DEFAULT_EPOCH_ITERS = 150
+
 
 def sigmoid_rampup(current, rampup_length: float) -> jnp.ndarray:
     """exp(-5 * (1 - t)^2) ramp (reference: utils/utils.py:72-79)."""

@@ -14,6 +14,13 @@ feature counts become masked top-k selections:
     the head (utils/loss/ssnet_loss.py:33-43)
   * classes with zero candidates retain their previous bank contents
     (reference only overwrites when features exist, ssnet_loss.py:30-48).
+
+The class axis is BATCHED, not python-unrolled: bank refresh and the
+contrastive distances/reductions run as single [C, ...] ops, so the HLO size
+is independent of the class count (4-class ACDC and 9-class Synapse compile
+the same program shape). Only the per-class selector MLPs stay unrolled —
+they are distinct named modules (reference checkpoint layout) of 32x32
+matmuls, negligible next to the [C, N, K] distance work.
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ def update_memory(features: jnp.ndarray, labels: jnp.ndarray,
                   candidate_mask: jnp.ndarray, scores_per_class: jnp.ndarray,
                   memory: jnp.ndarray, memory_valid: jnp.ndarray,
                   num_classes: int):
-    """One bank refresh.
+    """One bank refresh (all classes in one batched program).
 
     features:        [N, F] projected features (already stop-gradient)
     labels:          [N] int class labels of each feature
@@ -42,21 +49,19 @@ def update_memory(features: jnp.ndarray, labels: jnp.ndarray,
     assert c_dim == num_classes
     features = jax.lax.stop_gradient(features.astype(jnp.float32))
 
-    new_mem, new_valid = [], []
-    for c in range(num_classes):
-        mask_c = candidate_mask & (labels == c)
-        count = jnp.sum(mask_c)
-        # keep K lowest scores among masked rows: top_k of negated score
-        key = jnp.where(mask_c, -scores_per_class[c], NEG)
-        _, idx = jax.lax.top_k(key, k)
-        gathered = features[idx]  # [K, F]
-        slot_valid = jnp.arange(k) < jnp.minimum(count, k)
-        mem_c = jnp.where(slot_valid[:, None], gathered, memory[c])
-        valid_c = jnp.where(count > 0, slot_valid, memory_valid[c])
-        mem_c = jnp.where(count > 0, mem_c, memory[c])
-        new_mem.append(mem_c)
-        new_valid.append(valid_c)
-    return jnp.stack(new_mem), jnp.stack(new_valid)
+    classes = jnp.arange(num_classes, dtype=labels.dtype)
+    mask = candidate_mask[None, :] & (labels[None, :] == classes[:, None])
+    count = jnp.sum(mask, axis=1)                                   # [C]
+    # keep K lowest scores among masked rows: top_k of negated score
+    key = jnp.where(mask, -scores_per_class, NEG)                   # [C, N]
+    _, idx = jax.lax.top_k(key, k)                                  # [C, K]
+    gathered = features[idx]                                        # [C, K, F]
+    slot_valid = jnp.arange(k)[None, :] < jnp.minimum(count, k)[:, None]
+    new_mem = jnp.where(slot_valid[:, :, None], gathered, memory)
+    has_any = (count > 0)[:, None]
+    new_valid = jnp.where(has_any, slot_valid, memory_valid)
+    new_mem = jnp.where(has_any[:, :, None], new_mem, memory)
+    return new_mem, new_valid
 
 
 def _l2n(x, axis=-1, eps=1e-12):
@@ -75,35 +80,42 @@ def contrastive_class_to_class_learned_memory(
     features: [N, F] prediction-head outputs; labels: [N]. For each class c
     with >1 feature rows and >1 valid memory slots: cosine distances between
     L2-normalized rows and memory, re-weighted by two learned sigmoid
-    attention MLPs (feature-side detached), mean over valid pairs.
+    attention MLPs (feature-side detached), mean over valid pairs. Distances
+    and reductions are one batched [C, N, K] program; only the selector MLP
+    calls unroll (distinct per-class modules).
     """
     feats32 = features.astype(jnp.float32)
-    total = jnp.asarray(0.0, jnp.float32)
-    for c in range(num_classes):
-        mask_f = (labels == c)
-        m_count = jnp.sum(mask_f).astype(jnp.float32)
-        mem_c = memory[c]                        # [K, F]
-        vmask = memory_valid[c]                  # [K]
-        k_count = jnp.sum(vmask).astype(jnp.float32)
+    c_dim, k, _ = memory.shape
+    assert c_dim == num_classes
 
-        mem_n = _l2n(mem_c)
-        feat_n = _l2n(feats32)
-        distances = 1.0 - jnp.dot(feat_n, mem_n.T,
-                                  preferred_element_type=jnp.float32)  # [N, K]
+    feat_n = _l2n(feats32)                                          # [N, F]
+    mem_n = _l2n(memory)                                            # [C, K, F]
+    distances = 1.0 - jnp.einsum(
+        "nf,ckf->cnk", feat_n, mem_n,
+        preferred_element_type=jnp.float32)                         # [C, N, K]
 
-        w_f = jax.nn.sigmoid(
-            selector_fn(c, jax.lax.stop_gradient(feats32)))[:, 0]  # [N]
-        w_f_sum = jnp.sum(jnp.where(mask_f, w_f, 0.0))
-        w_f = (m_count / jnp.maximum(w_f_sum, 1e-8)) * w_f
+    classes = jnp.arange(num_classes, dtype=labels.dtype)
+    mask_f = labels[None, :] == classes[:, None]                    # [C, N]
+    m_count = jnp.sum(mask_f, axis=1).astype(jnp.float32)           # [C]
+    k_count = jnp.sum(memory_valid, axis=1).astype(jnp.float32)     # [C]
 
-        w_m = jax.nn.sigmoid(selector_memory_fn(c, mem_c))[:, 0]  # [K]
-        w_m_sum = jnp.sum(jnp.where(vmask, w_m, 0.0))
-        w_m = (k_count / jnp.maximum(w_m_sum, 1e-8)) * w_m
+    sg_feats = jax.lax.stop_gradient(feats32)
+    w_f = jnp.stack([
+        jax.nn.sigmoid(selector_fn(c, sg_feats))[:, 0]
+        for c in range(num_classes)])                               # [C, N]
+    w_f_sum = jnp.sum(jnp.where(mask_f, w_f, 0.0), axis=1)
+    w_f = (m_count / jnp.maximum(w_f_sum, 1e-8))[:, None] * w_f
 
-        pair_mask = mask_f[:, None] & vmask[None, :]
-        weighted = distances * w_f[:, None] * w_m[None, :]
-        mean_c = jnp.sum(jnp.where(pair_mask, weighted, 0.0)) / jnp.maximum(
-            m_count * k_count, 1.0)
-        use = (m_count > 1) & (k_count > 1)
-        total = total + jnp.where(use, mean_c, 0.0)
+    w_m = jnp.stack([
+        jax.nn.sigmoid(selector_memory_fn(c, memory[c]))[:, 0]
+        for c in range(num_classes)])                               # [C, K]
+    w_m_sum = jnp.sum(jnp.where(memory_valid, w_m, 0.0), axis=1)
+    w_m = (k_count / jnp.maximum(w_m_sum, 1e-8))[:, None] * w_m
+
+    pair_mask = mask_f[:, :, None] & memory_valid[:, None, :]       # [C, N, K]
+    weighted = distances * w_f[:, :, None] * w_m[:, None, :]
+    mean_c = jnp.sum(jnp.where(pair_mask, weighted, 0.0),
+                     axis=(1, 2)) / jnp.maximum(m_count * k_count, 1.0)
+    use = (m_count > 1) & (k_count > 1)
+    total = jnp.sum(jnp.where(use, mean_c, 0.0))
     return total / num_classes

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hpfg_tpu.models import build_model
+from hpfg_tpu.ops.rampup import DEFAULT_EPOCH_ITERS
 
 
 class ModelState(flax.struct.PyTreeNode):
@@ -89,6 +90,10 @@ class Algorithm:
         crop = cfg.get("train_crop_size", [224, 224])
         self.crop = tuple(crop) if isinstance(crop, (list, tuple)) else (crop, crop)
         self.in_channels = int(cfg.get("in_channels", 1))
+        #: iterations per nominal "epoch" for ramp-up schedules (the
+        #: reference's hardcoded ``iter // 150``; see ops/rampup.py)
+        self.epoch_iters = int(cfg.get("epoch_unit_iters",
+                                       DEFAULT_EPOCH_ITERS))
 
     # ---- helpers ------------------------------------------------------
     def _sample_shape(self, batch_size: int):

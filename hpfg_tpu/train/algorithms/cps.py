@@ -36,7 +36,7 @@ class CPS(DualAlgorithm):
         lb = self.label_bs
         x = jnp.concatenate([batch["label_img"], batch["unlabel_img"]], axis=0)
         consistency_weight = self.consistency * sigmoid_rampup(
-            cur_itrs // 150, self.rampup)
+            cur_itrs // self.epoch_iters, self.rampup)
 
         def loss_fn(params_pair):
             p1, p2 = params_pair

@@ -78,7 +78,7 @@ class HPFG(DualAlgorithm):
         ema_h1 = jax.lax.stop_gradient(ema_h1)
         ema_h2 = jax.lax.stop_gradient(ema_h2)
 
-        w = self.consistency * linear_rampup(cur_itrs // 150, self.rampup)
+        w = self.consistency * linear_rampup(cur_itrs // self.epoch_iters, self.rampup)
         mt_on = (cur_itrs >= self.mt_gate_iters).astype(jnp.float32)
 
         mask_hw = mask[..., 0]

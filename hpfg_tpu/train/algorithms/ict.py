@@ -87,7 +87,7 @@ class ICTMedSeg(Algorithm):
             + jax.nn.softmax(ema1, axis=-1) * factors)
 
         consistency_weight = self.consistency * sigmoid_rampup(
-            cur_itrs // 150, self.rampup)
+            cur_itrs // self.epoch_iters, self.rampup)
 
         def loss_fn(params):
             out, new_model = apply_train(

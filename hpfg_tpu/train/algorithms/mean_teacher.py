@@ -82,7 +82,7 @@ class MeanTeacher(Algorithm):
         ema_soft = jax.lax.stop_gradient(jax.nn.softmax(ema_out, axis=-1))
 
         consistency_weight = self.consistency * sigmoid_rampup(
-            cur_itrs // 150, self.rampup)
+            cur_itrs // self.epoch_iters, self.rampup)
 
         def loss_fn(params):
             out, new_model = apply_train(

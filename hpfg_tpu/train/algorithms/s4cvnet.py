@@ -50,7 +50,7 @@ class S4CVNet(DualAlgorithm):
                                        batch["unlabel_img"] + noise, rt)
         ema_soft = jax.lax.stop_gradient(jax.nn.softmax(ema_out, axis=-1))
 
-        w = self.consistency * linear_rampup(cur_itrs // 150, self.rampup)
+        w = self.consistency * linear_rampup(cur_itrs // self.epoch_iters, self.rampup)
         mt_on = (cur_itrs >= self.mt_gate_iters).astype(jnp.float32)
 
         def loss_fn(params_pair):

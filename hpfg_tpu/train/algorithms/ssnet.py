@@ -112,7 +112,7 @@ class SSNetAlgorithm(Algorithm):
         x = jnp.concatenate([batch["label_img"], batch["unlabel_img"]], axis=0)
         target = batch["label"].astype(jnp.int32)
         consistency_weight = self.consistency * sigmoid_rampup(
-            cur_itrs // 150, self.rampup)
+            cur_itrs // self.epoch_iters, self.rampup)
 
         def loss_fn(params):
             variables = self._variables(params, state.model.batch_stats)

@@ -105,7 +105,7 @@ class UAMT(Algorithm):
         mask = (uncertainty < threshold).astype(jnp.float32)
 
         consistency_weight = self.consistency * sigmoid_rampup(
-            cur_itrs // 150, self.rampup)
+            cur_itrs // self.epoch_iters, self.rampup)
 
         def loss_fn(params):
             out, new_model = apply_train(

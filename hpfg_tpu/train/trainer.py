@@ -37,7 +37,10 @@ VOLUME_DATASETS = {"acdc", "sup_acdc", "synapse", "sup_synapse"}
 @jax.jit
 def _stack_metrics(pending: list) -> "jax.Array":
     """[{name: scalar}] → [N, K] in one compiled program (eager stacks are
-    one tunnel round-trip EACH on this setup)."""
+    one tunnel round-trip EACH on this setup). Callers pad ``pending`` to a
+    fixed window length — jit specializes on the list length, and an
+    unpadded call would compile one program per distinct flush size (log
+    boundary vs eval boundary vs final flush)."""
     import jax.numpy as jnp
 
     return jnp.stack([jnp.stack([m[k] for k in sorted(m)]) for m in pending])
@@ -46,13 +49,26 @@ def _stack_metrics(pending: list) -> "jax.Array":
 class Trainer:
     def __init__(self, cfg, algorithm, loaders=None, workdir: str | None = None,
                  enable_tb: bool = True, log_every: int = 20):
+        from hpfg_tpu.parallel.distributed import is_main_process
+
         self.cfg = cfg
         self.algorithm = algorithm
+        # multi-host: every process computes (sharded global programs need
+        # all participants) but only process 0 writes logs/TB/checkpoints
+        self.is_main = is_main_process()
         self.workdir = workdir or cfg.get("save_path", "checkpoint/run")
-        mk_path(self.workdir)
-        self.logger = get_logger(os.path.join(self.workdir, "log.log"))
+        if self.is_main:
+            mk_path(self.workdir)
+        self.logger = get_logger(os.path.join(self.workdir, "log.log")
+                                 if self.is_main else None)
+        if not self.is_main:
+            import logging
+
+            self.logger.setLevel(logging.WARNING)
         self.writer = TBWriter(os.path.join(self.workdir, "tensorboardX")
-                               if enable_tb else None)
+                               if enable_tb and self.is_main else None)
+        # NOT gated: orbax coordinates multi-host saves itself — every
+        # process must call save()/restore() (process 0 commits metadata)
         self.ckpt = CheckpointManager(os.path.join(self.workdir, "model"))
         self.log_every = log_every
 
@@ -91,6 +107,39 @@ class Trainer:
         seed = int(self.cfg.get("seed", 0) if seed is None else seed)
         return self.algorithm.init_state(jax.random.PRNGKey(seed))
 
+    def _apply_pretrain(self, state):
+        """Transfer a Swin-MAE pretrained encoder (config ``pretrain_ckpt``:
+        the pretraining run's CheckpointManager dir) into every swin-encoder
+        model in the fresh state (reference intent: sup_ACDC.py:37
+        pretrain_save_path; fine-tunable SwinUnet model/swin_mae.py:440-557)."""
+        ckpt_dir = self.cfg.get("pretrain_ckpt")
+        if not ckpt_dir:
+            return state
+        import dataclasses
+
+        from hpfg_tpu.train.algorithms.base import ModelState
+        from hpfg_tpu.utils.checkpoint import CheckpointManager
+        from hpfg_tpu.utils.pretrain import (extract_mae_params,
+                                             transfer_mae_encoder)
+
+        mae_params = extract_mae_params(CheckpointManager(ckpt_dir).restore(
+            str(self.cfg.get("pretrain_tag", "last"))))
+        updates = {}
+        for f in dataclasses.fields(state):
+            v = getattr(state, f.name)
+            if isinstance(v, ModelState) and isinstance(v.params, dict) \
+                    and "encoder" in v.params:
+                new_params, report = transfer_mae_encoder(mae_params, v.params)
+                if report["transferred"]:
+                    updates[f.name] = v.replace(params=new_params)
+                    self.logger.info(
+                        "pretrain_ckpt %s -> %s: %d tensors transferred, "
+                        "%d shape-skipped, %d missing", ckpt_dir, f.name,
+                        len(report["transferred"]),
+                        len(report["skipped_shape"]),
+                        len(report["missing_target"]))
+        return state.replace(**updates) if updates else state
+
     def resume(self, state, tag: str = "last"):
         if self.ckpt.exists(tag):
             self.logger.info("resuming from checkpoint %r", tag)
@@ -102,7 +151,18 @@ class Trainer:
         cfg = self.cfg
         if state is None:
             state = self.init_state()
+            state = self._apply_pretrain(state)
         batches = self.algorithm.batches(self.loaders)
+        # double-buffered host→device pipeline: batch N+1 crosses H2D while
+        # step N runs (see data/prefetch.py); depth 0 disables
+        prefetch_depth = int(cfg.get("prefetch", 2))
+        prefetcher = None
+        if prefetch_depth > 0:
+            from hpfg_tpu.data.prefetch import DevicePrefetcher
+
+            prefetcher = DevicePrefetcher(batches, self.mesh,
+                                          depth=prefetch_depth)
+            batches = prefetcher
 
         self.logger.info("start training %s for %d iterations",
                          self.algorithm.name, self.total_itrs)
@@ -115,7 +175,8 @@ class Trainer:
             if images_per_step is None:
                 images_per_step = sum(
                     v.shape[0] for k, v in batch.items() if "img" in k or k == "image")
-            batch = shard_batch(self.mesh, batch)
+            if prefetcher is None:
+                batch = shard_batch(self.mesh, batch)
             if self.device_augment:
                 self._aug_counter += 1
                 state, metrics = self._jit_step(
@@ -142,8 +203,13 @@ class Trainer:
                 if panels_fn is not None and not self._writer_disabled():
                     for tag, img in panels_fn(state, batch).items():
                         self.writer.add_image(tag, img, cur)
+                # periodic crash-recovery checkpoint (async, off the hot
+                # path); resume with ckpt=last / auto_resume=1
+                self.ckpt.save("last", state)
 
-        self.ckpt.save("last", state)
+        if prefetcher is not None:
+            prefetcher.close()
+        self.ckpt.save("last", state, block=True)  # also flushes async saves
         elapsed = time.time() - t_start
         self.logger.info("done: %d iters in %.1fs (%.2f it/s)",
                          cur, elapsed, cur / max(elapsed, 1e-9))
@@ -157,7 +223,13 @@ class Trainer:
         if not pending:
             return {}
         names = sorted(pending[0][1].keys())
-        table = np.asarray(_stack_metrics([m for _, m in pending]))
+        rows = [m for _, m in pending]
+        # pad to the fixed log window so every flush reuses ONE compiled
+        # stacking program (pending never exceeds log_every: we flush at
+        # every log boundary)
+        window = max(self.log_every, len(rows))
+        rows = rows + [rows[-1]] * (window - len(rows))
+        table = np.asarray(_stack_metrics(rows))[:len(pending)]
         for (it, _), row in zip(pending, table):
             self.writer.add_scalars(dict(zip(names, row)), it,
                                     prefix=self.algorithm.name)

@@ -26,14 +26,28 @@ class CheckpointManager:
     def _path(self, tag: str) -> str:
         return os.path.join(self.directory, tag)
 
-    def save(self, tag: str, state: Any) -> None:
+    def save(self, tag: str, state: Any, block: bool = False) -> None:
+        """Save ``state``. Non-blocking by default: orbax's
+        StandardCheckpointer copies device→host synchronously (so donating
+        the state to the next train step is safe) and commits to disk in the
+        background — the train loop never waits on IO. Pass ``block=True``
+        (or call wait()) to force durability, e.g. for the final save."""
         path = self._path(tag)
         self._ckpt.save(path, state, force=True)
+        if block:
+            self._ckpt.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until all pending async saves are committed to disk."""
         self._ckpt.wait_until_finished()
 
-    def restore(self, tag: str, target: Any) -> Any:
+    def restore(self, tag: str, target: Any = None) -> Any:
         """Restore into the structure of ``target`` (an abstract or concrete
-        state pytree)."""
+        state pytree); with ``target=None`` returns the raw saved pytree as
+        nested dicts (used for cross-model transfers, utils/pretrain.py)."""
+        self._ckpt.wait_until_finished()  # never read a half-written save
+        if target is None:
+            return self._ckpt.restore(self._path(tag))
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
         return self._ckpt.restore(self._path(tag), abstract)
 

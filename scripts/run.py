@@ -37,6 +37,12 @@ def run(default_config: str, algorithm: str | None = None, argv=None):
     cfg = parse_config("hpfg_tpu trainer", default_config, argv)
     jax.config.update("jax_default_prng_impl",
                       str(cfg.get("prng_impl", "rbg")))
+    if cfg.get("distributed"):
+        # multi-host: one process per host; coordinator/topology from args,
+        # env vars, or TPU-pod autodiscovery (parallel/distributed.py)
+        from hpfg_tpu.parallel.distributed import init_distributed
+
+        init_distributed()
     algo_name = algorithm or cfg.get("algorithm")
     if algo_name is None:
         raise SystemExit("config must define `algorithm:` (or pass one)")
@@ -44,11 +50,19 @@ def run(default_config: str, algorithm: str | None = None, argv=None):
         else jnp.float32
     algo = build_algorithm(algo_name, cfg, dtype=dtype)
     trainer = Trainer(cfg, algo)
-    state = trainer.init_state()
+    state = None  # fit() initializes (and applies pretrain_ckpt transfers)
     ckpt_tag = cfg.get("ckpt")
     if ckpt_tag and str(ckpt_tag).lower() not in ("none", "null"):
-        state = trainer.resume(state, str(ckpt_tag))
-    trainer.fit(state)
+        state = trainer.resume(trainer.init_state(), str(ckpt_tag))
+    elif cfg.get("auto_resume") and trainer.ckpt.exists("last"):
+        # crash-recovery: pick up the periodic checkpoint the Trainer
+        # writes at every eval boundary
+        state = trainer.resume(trainer.init_state(), "last")
+
+    from hpfg_tpu.utils.errors import error_hints
+
+    with error_hints(trainer.logger):
+        trainer.fit(state)
     return trainer
 
 

@@ -65,7 +65,10 @@ class TestMeanTeacher:
     def test_train_and_teacher_tracks_student(self, synthetic_acdc, tmp_path):
         import jax
 
-        cfg = tiny_cfg(synthetic_acdc, total_itrs=12, step_size=6)
+        # batch sizes must divide the 8-device test mesh (shard_batch errors
+        # loudly on ragged training batches by design)
+        cfg = tiny_cfg(synthetic_acdc, total_itrs=12, step_size=6,
+                       batch_size=8, unlabel_batch_size=8)
         algo = build_algorithm("mean_teacher", cfg)
         trainer = Trainer(cfg, algo, workdir=str(tmp_path / "run"),
                           enable_tb=False)
