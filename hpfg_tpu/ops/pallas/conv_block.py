@@ -48,7 +48,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 LRELU_SLOPE = 0.01
 BN_EPS = 1e-5
-PIX = 8  # output pixels per MXU column group
+
+# Output pixels per MXU column group ("pix"). The expanded weight matrix
+# [3*(pix+2)*C, pix*F] has density 3/(pix+2) — smaller pix = denser MXU work
+# — but lane alignment needs pix*C % 128 == 0 and pix*F % 128 == 0, so pix
+# shrinks as the channel counts grow: 8 at C=16 (30% dense), 4 at C=32
+# (50%), 2 at C>=64 (75%). choose_pix picks per conv.
+
+
+def _min_pix(ch: int) -> int:
+    """Smallest power-of-two p with p*ch % 128 == 0."""
+    import math
+
+    return max(128 // math.gcd(ch, 128), 1)
+
+
+def choose_pix(w: int, c: int, f: int) -> int | None:
+    """Densest (smallest) group size for a c->f conv on W-wide rows, or
+    None when no power-of-two group satisfies the alignment constraints.
+    pix >= 2: the right-roll window supplies 2C columns per group, which a
+    1-pixel group cannot hold (pix=1 would need a third rolled copy)."""
+    pix = max(_min_pix(c), _min_pix(f), 2)
+    if pix > 8 or w % pix != 0:
+        return None
+    return pix
 
 # Mosaic's default scoped-vmem limit is a conservative 16M; the wide dgrad
 # blocks (e.g. [224, 224*32] outputs) need more headroom for double-buffered
@@ -68,33 +91,39 @@ class ConvBlockParams(NamedTuple):
 
 
 def supported(h: int, w: int, c: int, f: int) -> bool:
-    """Shapes the packed kernels handle: lane-aligned groups (stride
-    PIX*C % 128 == 0) and an even split of W into PIX-pixel groups."""
-    if w % PIX != 0:
-        return False
+    """Shapes the packed kernels handle: both convs of the block must admit
+    a lane-aligned group size (see choose_pix)."""
     if f % 16 != 0 or f > 128:
         return False
-    return c == 1 or (c % 16 == 0 and c <= 128)
+    if not (c == 1 or (c % 16 == 0 and c <= 128)):
+        return False
+    c_eff = 16 if c == 1 else c
+    return (choose_pix(w, c_eff, f) is not None
+            and choose_pix(w, f, f) is not None)
 
 
 def profitable(h: int, w: int, c: int, f: int) -> bool:
     """Where the packed kernels beat XLA on TPU: the large-spatial,
     small-channel stages whose minor-dim lane waste cripples the XLA
     lowering (measured: 2.9 vs 4.9 ms fwd, 5.8 vs ~11 ms fwd+bwd at
-    224²x16). At 56² and below the channel counts are lane-friendly and
-    per-kernel fixed costs outweigh the win."""
+    224²x16; 1.51x fwd+bwd at 112²x16→32 with pix=4 groups; ~1.07x at
+    56²x32→64 standalone — but a net LOSS in-model: canonical bench 676 →
+    666 img/s with 56² stages dispatched). Wide-channel / small-spatial
+    stages are lane-friendly and stay on XLA fusions (0.74x at 56²
+    128→64)."""
     return w >= 112 and max(c, f) <= 64
 
 
-# elements per im2col chunk. The binding constraint is Mosaic's 16M
-# scoped-vmem limit: double-buffered in/out blocks for a [224, 224*32]
-# kernel already take ~9.6M, so chunk temporaries must stay small.
-_CHUNK_BUDGET = 28 * 3584
+# elements per im2col chunk, sized against the raised scoped-vmem limit in
+# _COMPILER_PARAMS (chunk-size sweep on v5e: x4 budget -> th=112 rows at
+# 224²x16 is ~3% faster than th=28 — bigger chunks mean fewer, larger MXU
+# passes; beyond x4 is flat).
+_CHUNK_BUDGET = 112 * 3584
 
 
 def _row_chunk(h: int, wl: int) -> int:
     """Rows per in-kernel im2col chunk (VMEM sizing); divides h."""
-    for th in (56, 32, 28, 16, 14, 8, 7, 4, 2):
+    for th in (224, 112, 56, 32, 28, 16, 14, 8, 7, 4, 2):
         if h % th == 0 and th * wl <= _CHUNK_BUDGET:
             return th
     return 1
@@ -104,38 +133,38 @@ def _row_chunk(h: int, wl: int) -> int:
 # weight expansion (jnp, tiny tensors — runs in the surrounding jit)
 # ---------------------------------------------------------------------------
 
-_PLACEMENT_CACHE: dict[int, np.ndarray] = {}
+_PLACEMENT_CACHE: dict[tuple[int, int], np.ndarray] = {}
 
 
-def _placement(c: int) -> np.ndarray:
+def _placement(c: int, pix: int) -> np.ndarray:
     """Constant indicator T[j, p, dx, ci] = 1 iff im2col slab lane j feeds
     output pixel p through conv tap dx / input channel ci."""
-    if c not in _PLACEMENT_CACHE:
-        kdy = (PIX + 2) * c
-        t = np.zeros((kdy, PIX, 3, c), np.float32)
+    if (c, pix) not in _PLACEMENT_CACHE:
+        kdy = (pix + 2) * c
+        t = np.zeros((kdy, pix, 3, c), np.float32)
         for dx in range(3):
-            for p in range(PIX):
+            for p in range(pix):
                 for ci in range(c):
                     t[(p + dx) * c + ci, p, dx, ci] = 1.0
-        _PLACEMENT_CACHE[c] = t.reshape(kdy * PIX, 3 * c)
-    return _PLACEMENT_CACHE[c]
+        _PLACEMENT_CACHE[(c, pix)] = t.reshape(kdy * pix, 3 * c)
+    return _PLACEMENT_CACHE[(c, pix)]
 
 
-def expand_weights(w: jax.Array) -> jax.Array:
-    """[3, 3, C, F] -> block-structured [3 * (PIX+2)*C, PIX*F].
+def expand_weights(w: jax.Array, pix: int) -> jax.Array:
+    """[3, 3, C, F] -> block-structured [3 * (pix+2)*C, pix*F].
 
-    Column group p (output pixel p of a PIX-pixel group) reads input lanes
+    Column group p (output pixel p of a pix-pixel group) reads input lanes
     [(p+dx)*C, (p+dx+1)*C) of the dy-th slab; everything else is zero. The
-    matmul A[HW/PIX, 30C] @ W_big[30C, 8F] then computes PIX output pixels
+    matmul A[HW/pix, (pix+2)C] @ W_big then computes pix output pixels
     x F channels per row at once. Built with ONE contraction against a
     cached 0/1 placement tensor (a python scatter loop would trace to ~72
     tiny HLO ops per block per step)."""
     _, _, c, f = w.shape
-    kdy = (PIX + 2) * c
-    t = jnp.asarray(_placement(c), w.dtype)
+    kdy = (pix + 2) * c
+    t = jnp.asarray(_placement(c, pix), w.dtype)
     wr = w.reshape(3, 3 * c, f)            # [dy, dx*c+ci, f]
-    out = jnp.einsum("kx,yxf->ykf", t, wr)  # [3, kdy*PIX, f]
-    return out.reshape(3, kdy, PIX, f).reshape(3 * kdy, PIX * f)
+    out = jnp.einsum("kx,yxf->ykf", t, wr)  # [3, kdy*pix, f]
+    return out.reshape(3, kdy, pix, f).reshape(3 * kdy, pix * f)
 
 
 # ---------------------------------------------------------------------------
@@ -172,35 +201,35 @@ def _padded_rows(x_ref, y0, th, h, transform):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else body
 
 
-def _rolled_pair(ext, c, w):
+def _rolled_pair(ext, c, w, pix):
     """The two lane-rolled copies of the EXTENDED chunk rows (one roll pair
     for the whole chunk instead of one pair per dy slab — lane rolls run on
     the fp32 VPU and were the dominant non-MXU cost at 6 rolls/chunk).
 
     ext: [TH+2, W*C]. Returns (left, right) with jnp.roll semantics and the
     SAME-conv zero masks applied:
-      left  = roll(+C):        lanes [G*g - C, G*g + (PIX-1)*C) per group
-      right = roll(-(PIX-1)C): lanes [G*g + (PIX-1)*C, G*g + (PIX+1)*C)
+      left  = roll(+C):        lanes [G*g - C, G*g + (pix-1)*C) per group
+      right = roll(-(pix-1)C): lanes [G*g + (pix-1)*C, G*g + (pix+1)*C)
     """
     the, l = ext.shape
     lane = _lane_index(the, l)
     zero = jnp.zeros((), ext.dtype)
     left = jnp.where(lane < c, zero, _roll(ext, c, 1))
-    right = jnp.where(lane >= l - (PIX - 1) * c, zero,
-                      _roll(ext, -(PIX - 1) * c, 1))
+    right = jnp.where(lane >= l - (pix - 1) * c, zero,
+                      _roll(ext, -(pix - 1) * c, 1))
     return left, right
 
 
-def _im2col_dy_windows(left, right, dy, th, c, w):
+def _im2col_dy_windows(left, right, dy, th, c, w, pix):
     """dy-slab im2col from the pre-rolled chunk copies: slice the dy row
-    window and reshape into PIX-pixel groups ([TH*W/PIX, (PIX+2)*C]). Group
-    stride PIX*C is a multiple of 128 for C >= 16 (tile-aligned reshapes)."""
-    lw = left[dy + 1:dy + 1 + th].reshape(th * w // PIX, PIX * c)
-    rw = right[dy + 1:dy + 1 + th].reshape(th * w // PIX, PIX * c)[:, :2 * c]
+    window and reshape into pix-pixel groups ([TH*W/pix, (pix+2)*C]). Group
+    stride pix*C is a 128-multiple by choose_pix (tile-aligned reshapes)."""
+    lw = left[dy + 1:dy + 1 + th].reshape(th * w // pix, pix * c)
+    rw = right[dy + 1:dy + 1 + th].reshape(th * w // pix, pix * c)[:, :2 * c]
     return lw, rw
 
 
-def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h,
+def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h, pix,
                transform, dtype, post=None):
     """Chunked packed-row 3x3 SAME conv over one image.
 
@@ -212,19 +241,19 @@ def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h,
     accumulated per-lane [sum, sum^2] when ``sums`` is not None.
     """
     th = _row_chunk(h, w * max(c, f))
-    kdy = (PIX + 2) * c
+    kdy = (pix + 2) * c
     mm = x_ref.dtype if x_ref.dtype != jnp.float32 else jnp.float32
     for y0 in range(0, h, th):
         ext = _padded_rows(x_ref, y0, th, h, transform)  # fp32 (rolls)
-        left, right = _rolled_pair(ext, c, w)  # ONE roll pair per chunk
+        left, right = _rolled_pair(ext, c, w, pix)  # ONE roll pair per chunk
         o = None
         for i, dy in enumerate((-1, 0, 1)):
-            lw, rw = _im2col_dy_windows(left, right, dy, th, c, w)
-            a = jnp.concatenate([lw, rw], axis=1).astype(mm)  # [*, 10C]
+            lw, rw = _im2col_dy_windows(left, right, dy, th, c, w, pix)
+            a = jnp.concatenate([lw, rw], axis=1).astype(mm)
             part = jax.lax.dot_general(
                 a, wbig_ref[i * kdy:(i + 1) * kdy],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [TH*W/PIX, PIX*F]
+                preferred_element_type=jnp.float32)  # [TH*W/pix, pix*F]
             o = part if o is None else o + part
         o = o.reshape(th, w * f)
         if bvec_ref is not None:
@@ -273,19 +302,19 @@ def _new_local(want_stats, lf):
 
 
 def _conv_stats_kernel(x_ref, wbig_ref, bvec_ref, h_ref, sums_ref, *,
-                       c, f, w, h, want_stats, dtype):
+                       c, f, w, h, pix, want_stats, dtype):
     """conv3x3 + bias; optionally accumulate per-lane [sum, sum^2] across the
     batch grid (sums_ref revisited with a constant index map)."""
     local = _new_local(want_stats, w * f)
     local = _conv_rows(x_ref, wbig_ref, bvec_ref, h_ref, local,
-                       c=c, f=f, w=w, h=h,
+                       c=c, f=f, w=w, h=h, pix=pix,
                        transform=lambda r, lo, hi: r, dtype=dtype)
     _flush_stats(sums_ref, local)
 
 
 def _bn_act_conv_stats_kernel(h_ref, a_ref, b_ref, mask_ref, wbig_ref,
                               bvec_ref, g_ref, sums_ref, *,
-                              c, f, w, h, want_stats, use_mask, dtype):
+                              c, f, w, h, pix, want_stats, use_mask, dtype):
     """BN-affine + LeakyReLU (+ dropout mask) on conv1 output fused into the
     conv2 input load, then conv2 (+ stats). c here is conv2's input channel
     count (= conv1's F)."""
@@ -299,7 +328,8 @@ def _bn_act_conv_stats_kernel(h_ref, a_ref, b_ref, mask_ref, wbig_ref,
 
     local = _new_local(want_stats, w * f)
     local = _conv_rows(h_ref, wbig_ref, bvec_ref, g_ref, local,
-                       c=c, f=f, w=w, h=h, transform=transform, dtype=dtype)
+                       c=c, f=f, w=w, h=h, pix=pix, transform=transform,
+                       dtype=dtype)
     _flush_stats(sums_ref, local)
 
 
@@ -324,12 +354,12 @@ def _sums_spec(lf):
     return pl.BlockSpec((2, lf), lambda b: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _conv_stats(x2, wbig, bvec, *, c, f, h, w, want_stats,
+def _conv_stats(x2, wbig, bvec, *, c, f, h, w, pix, want_stats,
                 dtype, interpret=False):
     b = x2.shape[0]
     lf = w * f
     kernel = functools.partial(_conv_stats_kernel, c=c, f=f, w=w, h=h,
-                               want_stats=want_stats, dtype=dtype)
+                               pix=pix, want_stats=want_stats, dtype=dtype)
     wspec = pl.BlockSpec(wbig.shape, lambda b: (0,) * wbig.ndim,
                          memory_space=pltpu.VMEM)
     out, sums = pl.pallas_call(
@@ -346,13 +376,13 @@ def _conv_stats(x2, wbig, bvec, *, c, f, h, w, want_stats,
 
 
 def _bn_act_conv_stats(h2, avec, bvec_aff, mask2, wbig, bvec, *, c, f, h, w,
-                       want_stats, dtype, interpret=False):
+                       pix, want_stats, dtype, interpret=False):
     b = h2.shape[0]
     lc, lf = w * c, w * f
     use_mask = mask2 is not None
     kernel = functools.partial(_bn_act_conv_stats_kernel, c=c, f=f, w=w, h=h,
-                               want_stats=want_stats, use_mask=use_mask,
-                               dtype=dtype)
+                               pix=pix, want_stats=want_stats,
+                               use_mask=use_mask, dtype=dtype)
     if mask2 is None:  # feed a dummy 1-row array; kernel never reads it
         mask2 = jnp.zeros((b, 1, 128), dtype)
         mask_spec = pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
@@ -445,16 +475,18 @@ def _forward(x, params: ConvBlockParams, mask, run_stats, train: bool,
         # packed-lane path (pad cost is one cheap formatting pass)
         c = 16
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 15)))
-        w1 = jnp.pad(params.w1, ((0, 0), (0, 0), (0, 15), (0, 0)))
-        w1 = expand_weights(w1.astype(dtype))
+        w1p = jnp.pad(params.w1, ((0, 0), (0, 0), (0, 15), (0, 0)))
     else:
-        w1 = expand_weights(params.w1.astype(dtype))
-    w2 = expand_weights(params.w2.astype(dtype))
+        w1p = params.w1
+    pix1 = choose_pix(w, c, f)
+    pix2 = choose_pix(w, f, f)
+    w1 = expand_weights(w1p.astype(dtype), pix1)
+    w2 = expand_weights(params.w2.astype(dtype), pix2)
     b1vec = jnp.tile(params.b1.astype(jnp.float32), w)
     b2vec = jnp.tile(params.b2.astype(jnp.float32), w)
 
     x2 = _pack(x)
-    h2, sums1 = _conv_stats(x2, w1, b1vec, c=c, f=f, h=h, w=w,
+    h2, sums1 = _conv_stats(x2, w1, b1vec, c=c, f=f, h=h, w=w, pix=pix1,
                             want_stats=train, dtype=dtype, interpret=interpret)
     if train:
         mean1, var1 = _finalize_stats(sums1, n, f)
@@ -463,8 +495,8 @@ def _forward(x, params: ConvBlockParams, mask, run_stats, train: bool,
     a1, aff_b1 = _affine(params.scale1, params.bias1, mean1, var1, w)
 
     g2, sums2 = _bn_act_conv_stats(h2, a1, aff_b1, mask, w2, b2vec, c=f, f=f,
-                                   h=h, w=w, want_stats=train, dtype=dtype,
-                                   interpret=interpret)
+                                   h=h, w=w, pix=pix2, want_stats=train,
+                                   dtype=dtype, interpret=interpret)
     if train:
         mean2, var2 = _finalize_stats(sums2, n, f)
     else:
@@ -523,7 +555,7 @@ def _dpre_kernel(dy_ref, pre_ref, a_ref, b_ref, m_ref, inv_ref, u_ref,
         out_ref.dtype)
 
 
-def _dgrad_kernel(dpre_ref, wbig_ref, mask_ref, out_ref, *, c, f, w, h,
+def _dgrad_kernel(dpre_ref, wbig_ref, mask_ref, out_ref, *, c, f, w, h, pix,
                   use_mask, dtype):
     """Conv-input gradient: packed conv of dpre with the flip-transposed
     expanded weights; the dropout mask multiplies the OUTPUT rows."""
@@ -532,12 +564,12 @@ def _dgrad_kernel(dpre_ref, wbig_ref, mask_ref, out_ref, *, c, f, w, h,
         def post(o, lo, hi):
             return o * mask_ref[0, lo:hi].astype(jnp.float32)
     _conv_rows(dpre_ref, wbig_ref, None, out_ref, None, c=c, f=f, w=w, h=h,
-               transform=lambda r, lo, hi: r, dtype=dtype, post=post)
+               pix=pix, transform=lambda r, lo, hi: r, dtype=dtype, post=post)
 
 
 def _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, out_ref, *,
-                  c, f, w, h, mode):
-    """Accumulate dW_big[3*(PIX+2)C, PIX*F] = im2col(A)ᵀ @ groups(dpre).
+                  c, f, w, h, pix, mode):
+    """Accumulate dW_big[3*(pix+2)C, pix*F] = im2col(A)ᵀ @ groups(dpre).
 
     mode selects the A-operand transform: 'identity' (conv1: raw input) or
     'act' (conv2: recompute d = mask·lrelu(aff1(h)) from the h residual).
@@ -557,26 +589,26 @@ def _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, out_ref, *,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    kdy = (PIX + 2) * c
+    kdy = (pix + 2) * c
     mm = src_ref.dtype if src_ref.dtype != jnp.float32 else jnp.float32
     for y0 in range(0, h, th):
         ext = _padded_rows(src_ref, y0, th, h, transform)  # fp32 (rolls)
-        left, right = _rolled_pair(ext, c, w)
+        left, right = _rolled_pair(ext, c, w, pix)
         bgrp = dpre_ref[0, y0:y0 + th].astype(mm).reshape(
-            th * w // PIX, PIX * f)                      # [TH*W/8, 8F]
+            th * w // pix, pix * f)                      # [TH*W/pix, pix*F]
         for i, dy in enumerate((-1, 0, 1)):
-            lw, rw = _im2col_dy_windows(left, right, dy, th, c, w)
-            a = jnp.concatenate([lw, rw], axis=1).astype(mm)  # [*, 10C]
+            lw, rw = _im2col_dy_windows(left, right, dy, th, c, w, pix)
+            a = jnp.concatenate([lw, rw], axis=1).astype(mm)
             out_ref[i * kdy:(i + 1) * kdy] += jax.lax.dot_general(
                 a, bgrp, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [10C, 8F]
+                preferred_element_type=jnp.float32)      # [(pix+2)C, pix*F]
 
 
-def _fold_wgrad(dw_big: jax.Array, c: int, f: int) -> jax.Array:
-    """[3*(PIX+2)C, PIX*F] -> [3, 3, C, F] (transpose of expand_weights)."""
-    kdy = (PIX + 2) * c
-    t = jnp.asarray(_placement(c), dw_big.dtype)  # [kdy*PIX, 3c]
-    d = dw_big.reshape(3, kdy, PIX, f).reshape(3, kdy * PIX, f)
+def _fold_wgrad(dw_big: jax.Array, c: int, f: int, pix: int) -> jax.Array:
+    """[3*(pix+2)C, pix*F] -> [3, 3, C, F] (transpose of expand_weights)."""
+    kdy = (pix + 2) * c
+    t = jnp.asarray(_placement(c, pix), dw_big.dtype)  # [kdy*pix, 3c]
+    d = dw_big.reshape(3, kdy, pix, f).reshape(3, kdy * pix, f)
     out = jnp.einsum("kx,ykf->yxf", t, d)         # [3, 3c, f]
     return out.reshape(3, 3, c, f)
 
@@ -610,7 +642,7 @@ def _dpre(dy2, pre2, vecs, *, h, w, f, dtype, interpret):
     )(dy2, pre2, *[v.reshape(1, lf) for v in vecs])
 
 
-def _dgrad(dpre2, wflip, mask2, *, c, f, w, h, dtype, interpret):
+def _dgrad(dpre2, wflip, mask2, *, c, f, w, h, pix, dtype, interpret):
     """dpre2: [B, H, W*F] cotangent of the conv output; returns the
     cotangent of the conv input [B, H, W*C]. (c, f) are the FORWARD conv's
     in/out channels, so the flipped weights map F -> C."""
@@ -622,7 +654,7 @@ def _dgrad(dpre2, wflip, mask2, *, c, f, w, h, dtype, interpret):
                                  memory_space=pltpu.VMEM)
     else:
         mask_spec = _row_spec(h, w * c)
-    kernel = functools.partial(_dgrad_kernel, c=f, f=c, w=w, h=h,
+    kernel = functools.partial(_dgrad_kernel, c=f, f=c, w=w, h=h, pix=pix,
                                use_mask=use_mask, dtype=dtype)
     return pl.pallas_call(
         kernel,
@@ -637,10 +669,10 @@ def _dgrad(dpre2, wflip, mask2, *, c, f, w, h, dtype, interpret):
     )(dpre2, wflip, mask2)
 
 
-def _wgrad(src2, dpre2, mode, aff, mask2, *, c, f, w, h, interpret):
+def _wgrad(src2, dpre2, mode, aff, mask2, *, c, f, w, h, pix, interpret):
     b = src2.shape[0]
     lc = w * c
-    kdy = (PIX + 2) * c
+    kdy = (pix + 2) * c
     if aff is None:
         aff = (jnp.zeros(lc, jnp.float32), jnp.zeros(lc, jnp.float32))
     if mask2 is None:
@@ -655,20 +687,20 @@ def _wgrad(src2, dpre2, mode, aff, mask2, *, c, f, w, h, interpret):
     def kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, out_ref):
         _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref,
                       mask_ref if has_mask else None, out_ref,
-                      c=c, f=f, w=w, h=h, mode=mode)
+                      c=c, f=f, w=w, h=h, pix=pix, mode=mode)
 
     dw_big = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[_row_spec(h, lc), _row_spec(h, w * f),
                   _vec_spec(lc), _vec_spec(lc), mask_ref_spec],
-        out_specs=pl.BlockSpec((3 * kdy, PIX * f), lambda b: (0, 0),
+        out_specs=pl.BlockSpec((3 * kdy, pix * f), lambda b: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3 * kdy, PIX * f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3 * kdy, pix * f), jnp.float32),
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(src2, dpre2, aff[0].reshape(1, lc), aff[1].reshape(1, lc), mask2)
-    return _fold_wgrad(dw_big, c, f)
+    return _fold_wgrad(dw_big, c, f, pix)
 
 
 def _conv3x3(x, w):
@@ -725,12 +757,14 @@ def _bwd(train, interpret, res, cts):
                           tile(s2[1] / n)), dtype=dtype, **kw)
 
     a1l, b1l = _affine(params.scale1, params.bias1, stats.mean1, stats.var1, w)
+    pix2 = choose_pix(w, f, f)
     wflip2 = expand_weights(
-        jnp.flip(params.w2, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype))
-    dd2 = _dgrad(dg2, wflip2, mask2, c=f, f=f, w=w, h=hh, dtype=dtype,
-                 interpret=interpret)
+        jnp.flip(params.w2, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype),
+        pix2)
+    dd2 = _dgrad(dg2, wflip2, mask2, c=f, f=f, w=w, h=hh, pix=pix2,
+                 dtype=dtype, interpret=interpret)
     dw2 = _wgrad(h2, dg2, "act", (a1l, b1l), mask2, c=f, f=f, w=w, h=hh,
-                 interpret=interpret)
+                 pix=pix2, interpret=interpret)
 
     # ---- stage 1: BN1+LeakyReLU backward, conv1 dgrad/wgrad -------------
     m1l, inv1l = tile(stats.mean1), tile(1.0 / jnp.sqrt(stats.var1 + BN_EPS))
@@ -745,13 +779,15 @@ def _bwd(train, interpret, res, cts):
         w1p = jnp.pad(params.w1, ((0, 0), (0, 0), (0, 15), (0, 0)))
     else:
         xp, w1p = x, params.w1
+    pix1 = choose_pix(w, cpad, f)
     wflip1 = expand_weights(
-        jnp.flip(w1p, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype))
-    dx2 = _dgrad(dh2, wflip1, None, c=cpad, f=f, w=w, h=hh, dtype=dtype,
-                 interpret=interpret)
+        jnp.flip(w1p, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype), pix1)
+    dx2 = _dgrad(dh2, wflip1, None, c=cpad, f=f, w=w, h=hh, pix=pix1,
+                 dtype=dtype, interpret=interpret)
     dx = _unpack(dx2, w, cpad)[..., :cin]
     dw1 = _wgrad(_pack(xp).astype(dtype), dh2, "identity", None, None,
-                 c=cpad, f=f, w=w, h=hh, interpret=interpret)[:, :, :cin, :]
+                 c=cpad, f=f, w=w, h=hh, pix=pix1,
+                 interpret=interpret)[:, :, :cin, :]
 
     # conv biases feed BN directly: a constant shift moves the batch mean
     # by the same amount, so d(bias) is exactly zero in train mode

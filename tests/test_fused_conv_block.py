@@ -31,7 +31,8 @@ def _params(c, f, scale=0.2):
         w2=g(3, 3, f, f), b2=g(f), scale2=1.0 + 0.1 * g(f), bias2=0.1 * g(f))
 
 
-@pytest.mark.parametrize("c,f", [(1, 16), (16, 16), (16, 32), (32, 32), (64, 32)])
+@pytest.mark.parametrize("c,f", [(1, 16), (16, 16), (16, 32), (32, 32),
+                                 (64, 32), (64, 64), (128, 128)])  # pix 8,8,8,4,4,2,2
 def test_fused_forward_matches_reference(c, f):
     params = _params(c, f)
     x = jnp.asarray(rng_np.normal(size=(2, 16, 16, c)), jnp.float32)
@@ -54,7 +55,8 @@ def test_fused_eval_mode_matches_reference():
 
 
 @pytest.mark.parametrize("c,f,with_mask", [(16, 16, True), (1, 16, True),
-                                           (32, 16, False)])
+                                           (32, 16, False), (64, 64, True),
+                                           (128, 64, False)])
 def test_fused_custom_vjp_matches_autodiff(c, f, with_mask):
     params = _params(c, f)
     x = jnp.asarray(rng_np.normal(size=(2, 16, 16, c)), jnp.float32)
@@ -84,8 +86,11 @@ def test_supported_shapes():
     assert supported(224, 224, 1, 16)
     assert supported(112, 112, 64, 32)
     assert not supported(224, 224, 24, 16)   # unaligned C (stride 192)
-    assert not supported(224, 220, 16, 16)   # W not a PIX multiple
+    assert not supported(224, 220, 16, 16)   # W not a group multiple
     assert not supported(56, 56, 256, 256)   # wide channels stay on XLA
+    assert supported(28, 28, 64, 128)        # pix=2 groups (w%8 != 0 is ok)
+    assert supported(56, 56, 128, 64)        # pix=2
+    assert supported(14, 14, 128, 128)       # pix=2 groups
 
 
 def test_convblock_module_fused_equals_flax():
