@@ -49,6 +49,43 @@ def test_run_py_supervised_end_to_end(synthetic_acdc, tmp_path):
     assert any(f.startswith("events") for f in os.listdir(tb_dir))
 
 
+def test_ccnet_flat_schema_one_step(synthetic_acdc):
+    """A real ccnet YAML (flat single-model schema, reference
+    config/ccnet_unet_30k_224x224_ACDC.yaml) builds the HPFG trainer via the
+    DualAlgorithm fallback and executes one training step."""
+    import jax
+    import jax.numpy as jnp
+
+    from hpfg_tpu.config import load_config
+    from hpfg_tpu.train.algorithms import build_algorithm
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "ccnet_unet_30k_224x224_ACDC.yaml")
+    cfg = load_config(cfg_path)
+    # tiny overrides for CPU (schema untouched: still flat, no model1/2)
+    cfg.train_crop_size = [32, 32]
+    cfg.test_crop_size = [32, 32]
+    cfg.batch_size, cfg.unlabel_batch_size = 4, 8
+    cfg.feature_chns = [4, 8, 16, 32, 64]
+    cfg.dropout = [0.05, 0.1, 0.2, 0.3, 0.5]
+    assert cfg.get("model1") is None and cfg.get("model2") is None
+
+    algo = build_algorithm(cfg.algorithm, cfg)
+    assert algo.name == "hpfg"
+    state = algo.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    hw = 32
+    batch = {
+        "label_img": rng.normal(size=(4, hw, hw, 1)).astype(np.float32),
+        "label": rng.integers(0, 4, (4, hw, hw)).astype(np.int32),
+        "label_img1": rng.normal(size=(4, hw, hw, 1)).astype(np.float32),
+        "label1": rng.integers(0, 4, (4, hw, hw)).astype(np.int32),
+        "unlabel_img": rng.normal(size=(8, hw, hw, 1)).astype(np.float32),
+    }
+    state, metrics = jax.jit(algo.step)(state, batch)
+    assert np.isfinite(float(np.asarray(metrics["loss"])))
+
+
 def test_config_yaml_files_parse():
     from hpfg_tpu.config import load_config
 

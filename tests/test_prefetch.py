@@ -43,6 +43,35 @@ class TestDevicePrefetcher:
             next(pf)
         assert "loader blew up" in str(ei.value.__cause__)
 
+    def test_wire_compression_roundtrip(self):
+        import jax.numpy as jnp
+
+        from hpfg_tpu.data.prefetch import (compress_wire,
+                                            restore_wire_dtypes)
+
+        batch = {"image": np.linspace(-2, 2, 32, dtype=np.float32),
+                 "label": np.array([0, 3, 255], np.int32),
+                 "big_label": np.array([0, 70000], np.int64),
+                 "half": np.ones(4, np.float16)}
+        wire = compress_wire(batch)
+        assert wire["image"].dtype == np.float16
+        assert wire["label"].dtype == np.uint8        # 255 ignore fits
+        assert wire["big_label"].dtype == np.int64    # out of range: kept
+        restored = restore_wire_dtypes(
+            {k: jnp.asarray(v) for k, v in wire.items()})
+        assert restored["image"].dtype == jnp.float32
+        assert restored["label"].dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(restored["label"]),
+                                      batch["label"])
+        np.testing.assert_allclose(np.asarray(restored["image"]),
+                                   batch["image"], atol=2e-3)
+
+    def test_prefetcher_compresses_by_default(self):
+        pf = DevicePrefetcher(_batches(1), get_mesh(), depth=2)
+        batch = next(pf)
+        assert str(batch["image"].dtype) == "float16"
+        assert str(batch["label"].dtype) == "uint8"
+
     def test_close_unblocks_worker(self):
         pf = DevicePrefetcher(_batches(100), get_mesh(), depth=1)
         next(pf)

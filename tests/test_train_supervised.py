@@ -44,6 +44,21 @@ class TestSupervised:
             losses.append(float(np.asarray(metrics["loss"])))
         assert np.mean(losses[-10:]) < np.mean(losses[:10])
 
+    def test_device_cache_mode_trains(self, synthetic_acdc, tmp_path):
+        """device_cache: N host batches upload once; every step indexes the
+        cache by state.step on device (zero per-iter H2D)."""
+        cfg = tiny_cfg(synthetic_acdc, datasets="sup_acdc", batch_size=8,
+                       total_itrs=8, step_size=4, device_cache=3,
+                       device_augment=True)
+        algo = build_algorithm("supervised", cfg)
+        trainer = Trainer(cfg, algo, workdir=str(tmp_path / "run"),
+                          enable_tb=False)
+        state = trainer.fit()
+        assert int(np.asarray(state.step)) == 8
+        assert len(trainer.history) == 2
+        dice = trainer.history[-1]["results"]["model1"][0]
+        assert 0.0 <= dice <= 1.0
+
     def test_resume_restores_exact_state(self, synthetic_acdc, tmp_path):
         cfg = tiny_cfg(synthetic_acdc, datasets="sup_acdc", batch_size=8,
                        total_itrs=10, step_size=100)
