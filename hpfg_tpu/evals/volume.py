@@ -92,13 +92,19 @@ class SliceForward:
         return outs
 
 
+# Eval slices cross host→device in float16: the dev tunnel's H2D sustains
+# ~40-50 MB/s (BENCH_NOTES.md) and every model casts inputs to its compute
+# dtype as the first op, so the wire precision is free to halve.
+WIRE_DTYPE = np.float16
+
+
 def predict_volume(forward: SliceForward, variables, image: np.ndarray,
                    patch_size: tuple[int, int],
                    zoom_order: int = 0) -> np.ndarray:
     """image: [D, H, W] → predicted labels [D, H, W] (native resolution)."""
     d, h, w = image.shape
     resized = _resize_volume(image, patch_size, zoom_order)
-    preds = forward(variables, resized[..., None].astype(np.float32))
+    preds = forward(variables, resized[..., None].astype(WIRE_DTYPE))
     ph, pw = patch_size
     if (h, w) != (ph, pw):
         ys = _zoom_index_map(ph, h)
@@ -161,7 +167,7 @@ def volume_confusion_sums(forward: SliceForward, variables,
     ph, pw = patch_size
     resized = _resize_volume(image, patch_size, zoom_order)
     chunks = forward.device_chunks(
-        variables, resized[..., None].astype(np.float32))
+        variables, resized[..., None].astype(WIRE_DTYPE))
 
     hb, wb = pad_to_multiple(h, HW_BUCKET), pad_to_multiple(w, HW_BUCKET)
     ys = np.zeros(hb, np.int32)
@@ -284,7 +290,7 @@ def evaluate_images(forward: SliceForward, variables, loader,
     sums = np.zeros(4 if full_metrics else 2, dtype=np.float64)
     n = 0
     for images, labels in loader:
-        images = np.asarray(images, dtype=np.float32)
+        images = np.asarray(images, dtype=WIRE_DTYPE)
         labels = np.asarray(labels)
         preds = forward(variables, images)
         bs = images.shape[0]

@@ -470,28 +470,36 @@ def _forward(x, params: ConvBlockParams, mask, run_stats, train: bool,
     dtype = x.dtype
     n = b * h * w
 
-    if c == 1:
-        # single-channel stem: zero-pad to 16 channels and reuse the
-        # packed-lane path (pad cost is one cheap formatting pass)
-        c = 16
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 15)))
-        w1p = jnp.pad(params.w1, ((0, 0), (0, 0), (0, 15), (0, 0)))
-    else:
-        w1p = params.w1
-    pix1 = choose_pix(w, c, f)
     pix2 = choose_pix(w, f, f)
-    w1 = expand_weights(w1p.astype(dtype), pix1)
     w2 = expand_weights(params.w2.astype(dtype), pix2)
-    b1vec = jnp.tile(params.b1.astype(jnp.float32), w)
     b2vec = jnp.tile(params.b2.astype(jnp.float32), w)
 
-    x2 = _pack(x)
-    h2, sums1 = _conv_stats(x2, w1, b1vec, c=c, f=f, h=h, w=w, pix=pix1,
-                            want_stats=train, dtype=dtype, interpret=interpret)
-    if train:
-        mean1, var1 = _finalize_stats(sums1, n, f)
+    if c == 1:
+        # single-channel stem: a packed conv1 would pad C to 16 and waste
+        # 16x of its MXU/K work on zeros — run conv1 through XLA (C=1 convs
+        # have a cheap lowering) and enter the Pallas path at bn1. The
+        # [B,H,W,F] -> [B,H,W*F] pack is a free reshape.
+        h4 = _conv3x3(x, params.w1.astype(dtype)).astype(
+            jnp.float32) + params.b1
+        h2 = _pack(h4.astype(dtype))
+        if train:
+            mean1 = jnp.mean(h4, axis=(0, 1, 2))
+            var1 = jnp.maximum(
+                jnp.mean(h4 * h4, axis=(0, 1, 2)) - mean1 * mean1, 0.0)
+        else:
+            mean1, var1 = run_stats.mean1, run_stats.var1
     else:
-        mean1, var1 = run_stats.mean1, run_stats.var1
+        pix1 = choose_pix(w, c, f)
+        w1 = expand_weights(params.w1.astype(dtype), pix1)
+        b1vec = jnp.tile(params.b1.astype(jnp.float32), w)
+        x2 = _pack(x)
+        h2, sums1 = _conv_stats(x2, w1, b1vec, c=c, f=f, h=h, w=w, pix=pix1,
+                                want_stats=train, dtype=dtype,
+                                interpret=interpret)
+        if train:
+            mean1, var1 = _finalize_stats(sums1, n, f)
+        else:
+            mean1, var1 = run_stats.mean1, run_stats.var1
     a1, aff_b1 = _affine(params.scale1, params.bias1, mean1, var1, w)
 
     g2, sums2 = _bn_act_conv_stats(h2, a1, aff_b1, mask, w2, b2vec, c=f, f=f,
@@ -773,21 +781,27 @@ def _bwd(train, interpret, res, cts):
     dh2 = _dpre(dd2, h2, (a1l, b1l, m1l, inv1l, tile(s1[0] / n),
                           tile(s1[1] / n)), dtype=dtype, **kw)
 
-    cpad = 16 if cin == 1 else cin
     if cin == 1:
-        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 15)))
-        w1p = jnp.pad(params.w1, ((0, 0), (0, 0), (0, 15), (0, 0)))
+        # stem: conv1 ran through XLA in _forward — take its transpose the
+        # same way (C=1 dgrad/wgrad are cheap XLA convs; the packed kernels
+        # would again pay the 16x channel padding)
+        def stem_conv(xx, ww):
+            # all-f32: a mixed bf16/f32 conv TRANSPOSE is a TypeError, and
+            # the C=1 stem convs are cheap even in f32
+            return _conv3x3(xx.astype(jnp.float32), ww.astype(jnp.float32))
+
+        _, stem_vjp = jax.vjp(stem_conv, x, params.w1)
+        dx, dw1 = stem_vjp(_unpack(dh2, w, f).astype(jnp.float32))
     else:
-        xp, w1p = x, params.w1
-    pix1 = choose_pix(w, cpad, f)
-    wflip1 = expand_weights(
-        jnp.flip(w1p, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype), pix1)
-    dx2 = _dgrad(dh2, wflip1, None, c=cpad, f=f, w=w, h=hh, pix=pix1,
-                 dtype=dtype, interpret=interpret)
-    dx = _unpack(dx2, w, cpad)[..., :cin]
-    dw1 = _wgrad(_pack(xp).astype(dtype), dh2, "identity", None, None,
-                 c=cpad, f=f, w=w, h=hh, pix=pix1,
-                 interpret=interpret)[:, :, :cin, :]
+        pix1 = choose_pix(w, cin, f)
+        wflip1 = expand_weights(
+            jnp.flip(params.w1, axis=(0, 1)).transpose(0, 1, 3, 2).astype(
+                dtype), pix1)
+        dx2 = _dgrad(dh2, wflip1, None, c=cin, f=f, w=w, h=hh, pix=pix1,
+                     dtype=dtype, interpret=interpret)
+        dx = _unpack(dx2, w, cin)
+        dw1 = _wgrad(_pack(x).astype(dtype), dh2, "identity", None, None,
+                     c=cin, f=f, w=w, h=hh, pix=pix1, interpret=interpret)
 
     # conv biases feed BN directly: a constant shift moves the batch mean
     # by the same amount, so d(bias) is exactly zero in train mode

@@ -47,16 +47,30 @@ def soft_dice_probs(probs: jnp.ndarray, target_probs: jnp.ndarray,
 
 def vat_loss(apply_fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
              rng: jax.Array, xi: float = 10.0, epi: float = 6.0,
-             ip: int = 1) -> jnp.ndarray:
+             ip: int = 1,
+             apply_fn_frozen: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+             ) -> jnp.ndarray:
     """apply_fn(x) -> logits [..., C]; must be differentiable w.r.t. its
-    input AND the parameters it closes over, with frozen BN statistics."""
-    pred = jax.lax.stop_gradient(jax.nn.softmax(apply_fn(x), axis=-1))
+    input AND the parameters it closes over, with frozen BN statistics.
+
+    ``apply_fn_frozen``: the same forward with PARAMETER-DETACHED variables
+    (tree_map(stop_gradient, variables)); used for the clean target and the
+    power iteration. This mirrors the reference's ``zero_grad()`` after the
+    inner backward (vatloss.py:84-85) AND keeps the outer parameter grad
+    from linearizing through the inner VJP — which matters once the model
+    runs custom-vjp Pallas kernels: the inner gradient EXECUTES their
+    backward kernels, and differentiating that region again would need
+    second-order rules for TPU primitives (pltpu.roll has none). With
+    detached parameters the region is constant under the outer grad and JAX
+    short-circuits it with symbolic-zero tangents."""
+    frozen = apply_fn_frozen if apply_fn_frozen is not None else apply_fn
+    pred = jax.lax.stop_gradient(jax.nn.softmax(frozen(x), axis=-1))
 
     d = jax.random.uniform(rng, x.shape, jnp.float32) - 0.5
     d = _l2_normalize(d)
 
     def adv_distance(d_):
-        p_hat = jax.nn.softmax(apply_fn(x + xi * d_), axis=-1)
+        p_hat = jax.nn.softmax(frozen(x + xi * d_), axis=-1)
         return soft_dice_probs(p_hat, pred)
 
     for _ in range(ip):

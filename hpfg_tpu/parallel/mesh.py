@@ -87,6 +87,18 @@ def shard_batch(mesh: Mesh, batch: Any, axis_name: str = DATA_AXIS) -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_cached(mesh: Mesh, tree: Any, axis_name: str = DATA_AXIS) -> Any:
+    """Device-put [E, B, ...] epoch-cache arrays with axis 1 (the batch
+    axis) sharded and the epoch axis replicated (train/trainer.py
+    device-cache mode)."""
+    def put(x):
+        x = np.asarray(x)
+        spec = P(None, axis_name, *([None] * (x.ndim - 2)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def pad_and_shard(mesh: Mesh, x: Any, axis_name: str = DATA_AXIS):
     """Zero-pad the leading axis up to a mesh-size multiple and shard it.
 

@@ -44,6 +44,7 @@ class DualAlgorithm(Algorithm):
     #: keys copied from a flat (ccnet-style) config into synthesized
     #: model1/model2 blocks
     _FLAT_KEYS = ("model", "num_classes", "in_channels", "train_crop_size",
+                  "feature_chns", "dropout",
                   "opt", "lr", "weight_decay", "momentum", "sched",
                   "warmup_epochs", "warmup_lr", "min_lr", "total_itrs",
                   "step_size")

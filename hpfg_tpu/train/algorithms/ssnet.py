@@ -165,7 +165,18 @@ class SSNetAlgorithm(Algorithm):
                                        mutable=["batch_stats"])[0]
                 return out[0]  # logits
 
-            loss_lds = vat_loss(vat_apply, x, v_rng, epi=self.magnitude)
+            # detached variables for the power iteration (see ops/vat.py)
+            frozen_vars = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                                 variables)
+
+            def vat_apply_frozen(xv):
+                out = self.model.apply(frozen_vars, xv, train=True,
+                                       rngs={"dropout": vd_rng},
+                                       mutable=["batch_stats"])[0]
+                return out[0]
+
+            loss_lds = vat_loss(vat_apply, x, v_rng, epi=self.magnitude,
+                                apply_fn_frozen=vat_apply_frozen)
 
             # ---- supervised terms
             loss_ce = cross_entropy_loss(outputs[:lb], target)

@@ -84,21 +84,31 @@ class Trainer:
         self.device_augment = bool(cfg.get("device_augment", False))
         self._aug_rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 777)
         self._aug_counter = 0
+        # the prefetcher ships batches in a compressed wire format (f16/u8,
+        # see data/prefetch.py); restore dtypes INSIDE the jit (free cast; a
+        # no-op when batches arrive uncompressed — restore is dtype-keyed)
+        self.wire_compress = bool(cfg.get("wire_compress", True))
+        from hpfg_tpu.data.prefetch import restore_wire_dtypes
+
+        algo_step = self.algorithm.step
         if self.device_augment:
             # fuse augmentation INTO the step: one Execute per iteration
             # (each dependent Execute pays a full round-trip on the tunnel)
             from hpfg_tpu.ops.augment import augment_batch_dict
 
             aug_rng = self._aug_rng
-            algo_step = self.algorithm.step
 
             def fused_step(state, batch, counter):
-                batch = augment_batch_dict(aug_rng, counter, batch)
+                batch = augment_batch_dict(aug_rng, counter,
+                                           restore_wire_dtypes(batch))
                 return algo_step(state, batch)
 
             self._jit_step = jax.jit(fused_step, donate_argnums=(0,))
         else:
-            self._jit_step = jax.jit(self.algorithm.step, donate_argnums=(0,))
+            def plain_step(state, batch):
+                return algo_step(state, restore_wire_dtypes(batch))
+
+            self._jit_step = jax.jit(plain_step, donate_argnums=(0,))
         self.best_dice: dict[str, float] = {}
         self.history: list[dict] = []
 
@@ -147,22 +157,76 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
+    def _build_device_cache(self, batches, cache_n: int):
+        """Stack cache_n host batches into [E, B, ...] device arrays (batch
+        axis sharded, epoch axis replicated) and build the cached step:
+        batch = mega[state.step % E], restored + device-augmented in-jit."""
+        import jax.numpy as jnp
+
+        from hpfg_tpu.data.prefetch import compress_wire, restore_wire_dtypes
+        from hpfg_tpu.parallel.mesh import shard_cached
+
+        host = [next(batches) for _ in range(cache_n)]
+        if self.wire_compress:
+            host = [compress_wire(b) for b in host]
+        mega_host = {k: np.stack([b[k] for b in host]) for k in host[0]}
+        mega = shard_cached(self.mesh, mega_host)
+        self.logger.info(
+            "device cache: %d batches, %.1f MB resident", cache_n,
+            sum(v.nbytes for v in mega_host.values()) / 1e6)
+        if getattr(self, "_jit_cached_n", None) == cache_n:
+            return mega  # keep the already-compiled cached step
+
+        algo_step = self.algorithm.step
+        aug_rng = self._aug_rng
+        device_augment = self.device_augment
+        e = cache_n
+
+        def cached_step(state, mega):
+            k = jnp.mod(state.step, e)
+            batch = jax.tree_util.tree_map(lambda v: v[k], mega)
+            batch = restore_wire_dtypes(batch)
+            if device_augment:
+                from hpfg_tpu.ops.augment import augment_batch_dict
+
+                batch = augment_batch_dict(
+                    aug_rng, state.step.astype(jnp.uint32), batch)
+            return algo_step(state, batch)
+
+        self._jit_cached = jax.jit(cached_step, donate_argnums=(0,))
+        self._jit_cached_n = cache_n
+        return mega
+
+    # ------------------------------------------------------------------
     def fit(self, state=None, eval_enabled: bool = True):
         cfg = self.cfg
         if state is None:
             state = self.init_state()
             state = self._apply_pretrain(state)
         batches = self.algorithm.batches(self.loaders)
-        # double-buffered host→device pipeline: batch N+1 crosses H2D while
-        # step N runs (see data/prefetch.py); depth 0 disables
-        prefetch_depth = int(cfg.get("prefetch", 2))
+        # device-cached epoch mode: N host batches upload ONCE; every
+        # iteration indexes the cache by state.step and augments ON DEVICE —
+        # zero per-iteration host→device traffic. The TPU-native answer for
+        # datasets that fit HBM (one ACDC epoch ≈ 200 MB): the dev tunnel's
+        # ~45 MB/s uplink (BENCH_NOTES.md) otherwise caps any host-fed loop
+        # at ~200 img/s, and even on production hosts this removes the input
+        # pipeline from the critical path entirely.
+        cache_n = int(cfg.get("device_cache", 0))
+        mega = None
         prefetcher = None
-        if prefetch_depth > 0:
-            from hpfg_tpu.data.prefetch import DevicePrefetcher
+        if cache_n > 0:
+            mega = self._build_device_cache(batches, cache_n)
+        else:
+            # double-buffered host→device pipeline: batch N+1 crosses H2D
+            # while step N runs (see data/prefetch.py); prefetch: 0 disables
+            prefetch_depth = int(cfg.get("prefetch", 2))
+            if prefetch_depth > 0:
+                from hpfg_tpu.data.prefetch import DevicePrefetcher
 
-            prefetcher = DevicePrefetcher(batches, self.mesh,
-                                          depth=prefetch_depth)
-            batches = prefetcher
+                prefetcher = DevicePrefetcher(batches, self.mesh,
+                                              depth=prefetch_depth,
+                                              compress=self.wire_compress)
+                batches = prefetcher
 
         self.logger.info("start training %s for %d iterations",
                          self.algorithm.name, self.total_itrs)
@@ -170,19 +234,28 @@ class Trainer:
         pending_metrics: list[tuple[int, Any]] = []
         cur = int(np.asarray(state.step))
         images_per_step = None
+        batch = None
         while cur < self.total_itrs:
-            batch = next(batches)
-            if images_per_step is None:
-                images_per_step = sum(
-                    v.shape[0] for k, v in batch.items() if "img" in k or k == "image")
-            if prefetcher is None:
-                batch = shard_batch(self.mesh, batch)
-            if self.device_augment:
-                self._aug_counter += 1
-                state, metrics = self._jit_step(
-                    state, batch, np.uint32(self._aug_counter))
+            if mega is not None:
+                if images_per_step is None:
+                    images_per_step = sum(
+                        v.shape[1] for k, v in mega.items()
+                        if "img" in k or k == "image")
+                state, metrics = self._jit_cached(state, mega)
             else:
-                state, metrics = self._jit_step(state, batch)
+                batch = next(batches)
+                if images_per_step is None:
+                    images_per_step = sum(
+                        v.shape[0] for k, v in batch.items()
+                        if "img" in k or k == "image")
+                if prefetcher is None:
+                    batch = shard_batch(self.mesh, batch)
+                if self.device_augment:
+                    self._aug_counter += 1
+                    state, metrics = self._jit_step(
+                        state, batch, np.uint32(self._aug_counter))
+                else:
+                    state, metrics = self._jit_step(state, batch)
             cur += 1
             pending_metrics.append((cur, metrics))
 
@@ -200,7 +273,8 @@ class Trainer:
                 self._flush_metrics(pending_metrics)
                 self.evaluate(state, cur)
                 panels_fn = getattr(self.algorithm, "image_panels", None)
-                if panels_fn is not None and not self._writer_disabled():
+                if panels_fn is not None and batch is not None \
+                        and not self._writer_disabled():
                     for tag, img in panels_fn(state, batch).items():
                         self.writer.add_image(tag, img, cur)
                 # periodic crash-recovery checkpoint (async, off the hot

@@ -155,3 +155,4 @@ class TestLayers:
         tx = torch.tensor(x).permute(0, 3, 1, 2)
         expected = torch.nn.AdaptiveAvgPool2d((4, 4))(tx).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+

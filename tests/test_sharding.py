@@ -23,6 +23,35 @@ def test_shard_batch_spreads_leading_axis():
     assert x.addressable_shards[0].data.shape[0] == 2
 
 
+def test_shard_cached_shards_batch_axis_only():
+    """Device-cache arrays [E, B, ...]: epoch axis replicated, batch axis
+    sharded (train/trainer.py device_cache mode)."""
+    from hpfg_tpu.parallel.mesh import shard_cached
+
+    mesh = make_mesh()
+    mega = shard_cached(mesh, {"x": np.ones((3, 16, 4, 4, 1), np.float32)})
+    x = mega["x"]
+    assert x.shape == (3, 16, 4, 4, 1)
+    shard = x.addressable_shards[0].data
+    assert shard.shape[0] == 3      # epoch axis replicated
+    assert shard.shape[1] == 2      # batch axis split 8 ways
+
+
+def test_device_cache_trainer_on_mesh(synthetic_acdc, tmp_path):
+    """The cached step (batch = mega[state.step % E] in-jit) runs under the
+    8-device mesh and trains."""
+    from hpfg_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg(synthetic_acdc, datasets="sup_acdc", batch_size=8,
+                   total_itrs=6, step_size=3, device_cache=2,
+                   device_augment=True)
+    algo = build_algorithm("supervised", cfg)
+    trainer = Trainer(cfg, algo, workdir=str(tmp_path / "run"),
+                      enable_tb=False)
+    state = trainer.fit()
+    assert int(np.asarray(state.step)) == 6
+
+
 def test_mean_teacher_step_on_mesh(synthetic_acdc):
     """The SSL step jit-compiles and executes with batches sharded over an
     8-device mesh; loss matches the single-device result (global BN stats and
