@@ -198,23 +198,22 @@ class ConvBlock(nn.Module):
             bias1=n1["bias"], w2=p2["kernel"], b2=p2["bias"],
             scale2=n2["scale"], bias2=n2["bias"])
 
-        mask = None
+        drop = seed = None
         if train and self.dropout_p > 0.0:
-            keep = 1.0 - self.dropout_p
-            # generated directly in the kernels' packed [B, H, W*F] form —
-            # iid noise needs no relayout
-            bern = jax.random.bernoulli(
-                self.make_rng("dropout"), keep,
-                (x.shape[0], x.shape[1], x.shape[2] * self.features))
-            mask = bern.astype(self.dtype) / keep
+            # in-kernel hash dropout: the kernels regenerate the mask from
+            # (seed, image, row, lane) — no [B, H, W*F] mask in HBM. The
+            # seed rides in an f32 scalar (small int, exact).
+            drop = 1.0 - self.dropout_p
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, 1 << 23).astype(jnp.float32)
 
         run_stats = None
         if not train:
             run_stats = cb.FusedStats(s1["mean"], s1["var"],
                                       s2["mean"], s2["var"])
         interpret = jax.default_backend() != "tpu"
-        y, stats = cb.fused_conv_block(x, params, mask, train, interpret,
-                                       run_stats)
+        y, stats = cb.fused_conv_block(x, params, None, seed, train,
+                                       interpret, drop, run_stats)
         if train and not self.is_initializing():
             m = 0.9  # flax BatchNorm momentum used on the module path
             if self.is_mutable_collection("batch_stats"):

@@ -175,6 +175,47 @@ def _lane_index(h, l):
     return jax.lax.broadcasted_iota(jnp.int32, (h, l), dimension=1)
 
 
+# In-kernel dropout: instead of materializing a [B, H, W*F] mask in HBM
+# (generated by jax.random, written once, read by THREE kernels across
+# fwd/bwd), every kernel regenerates the mask from a murmur3-style integer
+# hash of (seed, image, row, lane). Halo rows hash identically regardless of
+# which chunk reads them, and the same jnp ops serve as the test oracle
+# (hash_mask_reference).
+
+_GOLD = np.uint32(0x9E3779B9)
+_MUR1 = np.uint32(0x85EBCA6B)
+_MUR2 = np.uint32(0xC2B2AE35)
+
+
+def _hash_mask(seed_u32, b_idx, row_ids, lane_ids, l_total: int,
+               keep: float):
+    """Pre-scaled dropout mask (1/keep or 0) for int32 row/lane id grids."""
+    v = (row_ids * np.int32(l_total) + lane_ids).astype(jnp.uint32)
+    x = v + (seed_u32 + jnp.uint32(b_idx) * _GOLD)
+    x = x ^ (x >> 16)
+    x = x * _MUR1
+    x = x ^ (x >> 13)
+    x = x * _MUR2
+    x = x ^ (x >> 16)
+    thresh = jnp.uint32(min(int(keep * 2 ** 32), 2 ** 32 - 1))
+    return jnp.where(x < thresh, jnp.float32(1.0 / keep), jnp.float32(0.0))
+
+
+def hash_mask_reference(seed, b: int, h: int, l: int, keep: float):
+    """jnp oracle: the [h, l] mask image ``b`` sees (tests)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, l), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (h, l), 1)
+    return _hash_mask(jnp.asarray(seed, jnp.uint32), b, rows, lanes, l, keep)
+
+
+def _kernel_mask_rows(seed_ref, lo: int, hi: int, l: int, keep: float):
+    """Mask rows [lo, hi) for the current grid image (in-kernel)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hi - lo, l), 0) + lo
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (hi - lo, l), 1)
+    return _hash_mask(seed_ref[0].astype(jnp.uint32), pl.program_id(0),
+                      rows, lanes, l, keep)
+
+
 def _roll(x, shift, axis):
     """Lane roll with jnp.roll semantics for negative shifts.
 
@@ -312,18 +353,22 @@ def _conv_stats_kernel(x_ref, wbig_ref, bvec_ref, h_ref, sums_ref, *,
     _flush_stats(sums_ref, local)
 
 
-def _bn_act_conv_stats_kernel(h_ref, a_ref, b_ref, mask_ref, wbig_ref,
-                              bvec_ref, g_ref, sums_ref, *,
-                              c, f, w, h, pix, want_stats, use_mask, dtype):
+def _bn_act_conv_stats_kernel(h_ref, a_ref, b_ref, mask_ref, seed_ref,
+                              wbig_ref, bvec_ref, g_ref, sums_ref, *,
+                              c, f, w, h, pix, want_stats, use_mask, drop,
+                              dtype):
     """BN-affine + LeakyReLU (+ dropout mask) on conv1 output fused into the
     conv2 input load, then conv2 (+ stats). c here is conv2's input channel
-    count (= conv1's F)."""
+    count (= conv1's F). ``drop`` (keep prob) regenerates the mask in-kernel
+    from the hash of (seed, image, row, lane) instead of reading HBM."""
 
     def transform(rows, lo, hi):
         z = rows * a_ref[0] + b_ref[0]
         z = jnp.where(z >= 0, z, z * LRELU_SLOPE)
         if use_mask:
             z = z * mask_ref[0, lo:hi].astype(jnp.float32)
+        elif drop is not None:
+            z = z * _kernel_mask_rows(seed_ref, lo, hi, w * c, drop)
         return z
 
     local = _new_local(want_stats, w * f)
@@ -375,14 +420,25 @@ def _conv_stats(x2, wbig, bvec, *, c, f, h, w, pix, want_stats,
     return out, sums
 
 
+def _seed_spec():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _seed_arr(seed):
+    if seed is None:
+        return jnp.zeros((1,), jnp.float32)
+    return jnp.asarray(seed, jnp.float32).reshape(1)
+
+
 def _bn_act_conv_stats(h2, avec, bvec_aff, mask2, wbig, bvec, *, c, f, h, w,
-                       pix, want_stats, dtype, interpret=False):
+                       pix, want_stats, dtype, drop=None, seed=None,
+                       interpret=False):
     b = h2.shape[0]
     lc, lf = w * c, w * f
     use_mask = mask2 is not None
     kernel = functools.partial(_bn_act_conv_stats_kernel, c=c, f=f, w=w, h=h,
                                pix=pix, want_stats=want_stats,
-                               use_mask=use_mask, dtype=dtype)
+                               use_mask=use_mask, drop=drop, dtype=dtype)
     if mask2 is None:  # feed a dummy 1-row array; kernel never reads it
         mask2 = jnp.zeros((b, 1, 128), dtype)
         mask_spec = pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
@@ -393,6 +449,7 @@ def _bn_act_conv_stats(h2, avec, bvec_aff, mask2, wbig, bvec, *, c, f, h, w,
         kernel,
         grid=(b,),
         in_specs=[_row_spec(h, lc), _vec_spec(lc), _vec_spec(lc), mask_spec,
+                  _seed_spec(),
                   pl.BlockSpec(wbig.shape, lambda b: (0, 0),
                                memory_space=pltpu.VMEM), _vec_spec(lf)],
         out_specs=[_row_spec(h, lf), _sums_spec(lf)],
@@ -400,8 +457,8 @@ def _bn_act_conv_stats(h2, avec, bvec_aff, mask2, wbig, bvec, *, c, f, h, w,
                    jax.ShapeDtypeStruct((2, lf), jnp.float32)],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(h2, avec.reshape(1, lc), bvec_aff.reshape(1, lc), mask2, wbig,
-      bvec.reshape(1, lf))
+    )(h2, avec.reshape(1, lc), bvec_aff.reshape(1, lc), mask2,
+      _seed_arr(seed), wbig, bvec.reshape(1, lf))
     return out, sums
 
 
@@ -461,10 +518,11 @@ def _unpack(x2, w, c):
 
 
 def _forward(x, params: ConvBlockParams, mask, run_stats, train: bool,
-             interpret: bool = False):
+             interpret: bool = False, drop=None, seed=None):
     """Returns (y, h2, g2, batch_stats) — h2/g2 are the PACKED pre-BN conv
     outputs kept as custom-vjp residuals. In eval mode batch_stats echoes
-    ``run_stats``."""
+    ``run_stats``. ``drop``/``seed``: in-kernel hash dropout (keep prob +
+    f32 seed scalar) as the zero-HBM alternative to an explicit ``mask``."""
     b, h, w, c = x.shape
     f = params.w1.shape[-1]
     dtype = x.dtype
@@ -504,7 +562,8 @@ def _forward(x, params: ConvBlockParams, mask, run_stats, train: bool,
 
     g2, sums2 = _bn_act_conv_stats(h2, a1, aff_b1, mask, w2, b2vec, c=f, f=f,
                                    h=h, w=w, pix=pix2, want_stats=train,
-                                   dtype=dtype, interpret=interpret)
+                                   dtype=dtype, drop=drop, seed=seed,
+                                   interpret=interpret)
     if train:
         mean2, var2 = _finalize_stats(sums2, n, f)
     else:
@@ -563,20 +622,23 @@ def _dpre_kernel(dy_ref, pre_ref, a_ref, b_ref, m_ref, inv_ref, u_ref,
         out_ref.dtype)
 
 
-def _dgrad_kernel(dpre_ref, wbig_ref, mask_ref, out_ref, *, c, f, w, h, pix,
-                  use_mask, dtype):
+def _dgrad_kernel(dpre_ref, wbig_ref, mask_ref, seed_ref, out_ref, *, c, f,
+                  w, h, pix, use_mask, drop, dtype):
     """Conv-input gradient: packed conv of dpre with the flip-transposed
     expanded weights; the dropout mask multiplies the OUTPUT rows."""
     post = None
     if use_mask:
         def post(o, lo, hi):
             return o * mask_ref[0, lo:hi].astype(jnp.float32)
+    elif drop is not None:
+        def post(o, lo, hi):
+            return o * _kernel_mask_rows(seed_ref, lo, hi, w * f, drop)
     _conv_rows(dpre_ref, wbig_ref, None, out_ref, None, c=c, f=f, w=w, h=h,
                pix=pix, transform=lambda r, lo, hi: r, dtype=dtype, post=post)
 
 
-def _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, out_ref, *,
-                  c, f, w, h, pix, mode):
+def _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, seed_ref,
+                  out_ref, *, c, f, w, h, pix, mode, drop=None):
     """Accumulate dW_big[3*(pix+2)C, pix*F] = im2col(A)ᵀ @ groups(dpre).
 
     mode selects the A-operand transform: 'identity' (conv1: raw input) or
@@ -591,6 +653,8 @@ def _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, out_ref, *,
         z = jnp.where(z >= 0, z, z * LRELU_SLOPE)
         if mask_ref is not None:
             z = z * mask_ref[0, lo:hi].astype(jnp.float32)
+        elif drop is not None:
+            z = z * _kernel_mask_rows(seed_ref, lo, hi, w * c, drop)
         return z
 
     @pl.when(pl.program_id(0) == 0)
@@ -650,7 +714,8 @@ def _dpre(dy2, pre2, vecs, *, h, w, f, dtype, interpret):
     )(dy2, pre2, *[v.reshape(1, lf) for v in vecs])
 
 
-def _dgrad(dpre2, wflip, mask2, *, c, f, w, h, pix, dtype, interpret):
+def _dgrad(dpre2, wflip, mask2, *, c, f, w, h, pix, dtype, interpret,
+           drop=None, seed=None):
     """dpre2: [B, H, W*F] cotangent of the conv output; returns the
     cotangent of the conv input [B, H, W*C]. (c, f) are the FORWARD conv's
     in/out channels, so the flipped weights map F -> C."""
@@ -663,21 +728,23 @@ def _dgrad(dpre2, wflip, mask2, *, c, f, w, h, pix, dtype, interpret):
     else:
         mask_spec = _row_spec(h, w * c)
     kernel = functools.partial(_dgrad_kernel, c=f, f=c, w=w, h=h, pix=pix,
-                               use_mask=use_mask, dtype=dtype)
+                               use_mask=use_mask, drop=drop, dtype=dtype)
     return pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[_row_spec(h, w * f),
                   pl.BlockSpec(wflip.shape, lambda b: (0, 0),
-                               memory_space=pltpu.VMEM), mask_spec],
+                               memory_space=pltpu.VMEM), mask_spec,
+                  _seed_spec()],
         out_specs=_row_spec(h, w * c),
         out_shape=jax.ShapeDtypeStruct((b, h, w * c), dtype),
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(dpre2, wflip, mask2)
+    )(dpre2, wflip, mask2, _seed_arr(seed))
 
 
-def _wgrad(src2, dpre2, mode, aff, mask2, *, c, f, w, h, pix, interpret):
+def _wgrad(src2, dpre2, mode, aff, mask2, *, c, f, w, h, pix, interpret,
+           drop=None, seed=None):
     b = src2.shape[0]
     lc = w * c
     kdy = (pix + 2) * c
@@ -692,22 +759,23 @@ def _wgrad(src2, dpre2, mode, aff, mask2, *, c, f, w, h, pix, interpret):
         mask_ref_spec = _row_spec(h, lc)
         has_mask = True
 
-    def kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, out_ref):
+    def kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, seed_ref, out_ref):
         _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref,
-                      mask_ref if has_mask else None, out_ref,
-                      c=c, f=f, w=w, h=h, pix=pix, mode=mode)
+                      mask_ref if has_mask else None, seed_ref, out_ref,
+                      c=c, f=f, w=w, h=h, pix=pix, mode=mode, drop=drop)
 
     dw_big = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[_row_spec(h, lc), _row_spec(h, w * f),
-                  _vec_spec(lc), _vec_spec(lc), mask_ref_spec],
+                  _vec_spec(lc), _vec_spec(lc), mask_ref_spec, _seed_spec()],
         out_specs=pl.BlockSpec((3 * kdy, pix * f), lambda b: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3 * kdy, pix * f), jnp.float32),
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(src2, dpre2, aff[0].reshape(1, lc), aff[1].reshape(1, lc), mask2)
+    )(src2, dpre2, aff[0].reshape(1, lc), aff[1].reshape(1, lc), mask2,
+      _seed_arr(seed))
     return _fold_wgrad(dw_big, c, f, pix)
 
 
@@ -721,20 +789,25 @@ def _conv3x3(x, w):
 
 # full custom-vjp assembly ---------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_conv_block(x, params: ConvBlockParams, mask, train: bool,
-                     interpret: bool, run_stats: FusedStats | None):
-    """Fused block forward. ``mask`` is the pre-scaled dropout mask in
-    PACKED form [B, H, W*F] (or
-    None); ``run_stats`` feeds eval-mode normalization (None in train mode).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_conv_block(x, params: ConvBlockParams, mask, seed, train: bool,
+                     interpret: bool, drop: float | None,
+                     run_stats: FusedStats | None):
+    """Fused block forward. Dropout comes in ONE of two forms: ``mask`` — a
+    pre-scaled mask in PACKED form [B, H, W*F] — or ``drop`` (static keep
+    prob) + ``seed`` (f32 scalar holding a small int), which regenerates the
+    mask in-kernel from an integer hash with zero HBM traffic.
+    ``run_stats`` feeds eval-mode normalization (None in train mode).
     Returns (y, batch FusedStats). Positional args only (custom_vjp)."""
-    y, _, _, stats = _forward(x, params, mask, run_stats, train, interpret)
+    y, _, _, stats = _forward(x, params, mask, run_stats, train, interpret,
+                              drop=drop, seed=seed)
     return y, stats
 
 
-def _fwd(x, params, mask, train, interpret, run_stats):
-    y, h2, g2, stats = _forward(x, params, mask, run_stats, train, interpret)
-    res = (x, params, mask, h2, g2, stats)
+def _fwd(x, params, mask, seed, train, interpret, drop, run_stats):
+    y, h2, g2, stats = _forward(x, params, mask, run_stats, train, interpret,
+                                drop=drop, seed=seed)
+    res = (x, params, mask, seed, h2, g2, stats)
     return (y, stats), res
 
 
@@ -742,9 +815,9 @@ def _fold_sums(s, w, f):
     return s.reshape(2, w, f).sum(axis=1)
 
 
-def _bwd(train, interpret, res, cts):
+def _bwd(train, interpret, drop, res, cts):
     dy, _ = cts  # no gradients flow through the returned statistics
-    x, params, mask2, h2, g2, stats = res
+    x, params, mask2, seed, h2, g2, stats = res
     if not train:
         raise NotImplementedError("fused_conv_block backward: train only")
 
@@ -770,9 +843,9 @@ def _bwd(train, interpret, res, cts):
         jnp.flip(params.w2, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype),
         pix2)
     dd2 = _dgrad(dg2, wflip2, mask2, c=f, f=f, w=w, h=hh, pix=pix2,
-                 dtype=dtype, interpret=interpret)
+                 dtype=dtype, drop=drop, seed=seed, interpret=interpret)
     dw2 = _wgrad(h2, dg2, "act", (a1l, b1l), mask2, c=f, f=f, w=w, h=hh,
-                 pix=pix2, interpret=interpret)
+                 pix=pix2, drop=drop, seed=seed, interpret=interpret)
 
     # ---- stage 1: BN1+LeakyReLU backward, conv1 dgrad/wgrad -------------
     m1l, inv1l = tile(stats.mean1), tile(1.0 / jnp.sqrt(stats.var1 + BN_EPS))
@@ -815,7 +888,8 @@ def _bwd(train, interpret, res, cts):
         scale2=dscale2.astype(params.scale2.dtype),
         bias2=dbias2.astype(params.bias2.dtype))
     dmask = None if mask2 is None else jnp.zeros_like(mask2)
-    return dx.astype(x.dtype), dparams, dmask, None
+    dseed = None if seed is None else jnp.zeros_like(seed)
+    return dx.astype(x.dtype), dparams, dmask, dseed, None
 
 
 fused_conv_block.defvjp(_fwd, _bwd)

@@ -69,7 +69,7 @@ def test_fused_custom_vjp_matches_autodiff(c, f, with_mask):
         lambda x, p: jnp.sum(conv_block_reference(x, p, mask, True, None)[0] * dy),
         argnums=(0, 1))(x, params)
     gx_f, gp_f = jax.grad(
-        lambda x, p: jnp.sum(fused_conv_block(x, p, pm, True, True, None)[0] * dy),
+        lambda x, p: jnp.sum(fused_conv_block(x, p, pm, None, True, True, None, None)[0] * dy),
         argnums=(0, 1))(x, params)
 
     np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
@@ -147,3 +147,75 @@ def test_convblock_module_fused_equals_flax():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-3, rtol=1e-3)
+
+
+class TestHashDropout:
+    """In-kernel hash dropout == reference path fed the oracle mask
+    (hash_mask_reference reproduces the kernels' per-(image,row,lane)
+    hash exactly)."""
+
+    def _oracle_mask(self, seed, b, h, w, f, keep):
+        from hpfg_tpu.ops.pallas.conv_block import hash_mask_reference
+
+        rows = [hash_mask_reference(seed, i, h, w * f, keep)
+                for i in range(b)]
+        return jnp.stack(rows)  # packed [B, H, W*F], pre-scaled
+
+    def test_forward_matches_reference_with_oracle_mask(self):
+        from hpfg_tpu.ops.pallas.conv_block import fused_conv_block
+
+        c = f = 16
+        keep, seed = 0.8, 12345.0
+        params = _params(c, f)
+        x = jnp.asarray(rng_np.normal(size=(2, 16, 16, c)), jnp.float32)
+        pm = self._oracle_mask(seed, 2, 16, 16, f, keep)
+        y_ref, st_ref = conv_block_reference(
+            x, params, pm.reshape(2, 16, 16, f), True, None)
+        y, st = fused_conv_block(x, params, None,
+                                 jnp.float32(seed), True, True, keep, None)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-3)
+        for a, b in zip(st, st_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3)
+
+    def test_vjp_matches_reference_with_oracle_mask(self):
+        from hpfg_tpu.ops.pallas.conv_block import fused_conv_block
+
+        c = f = 16
+        keep, seed = 0.7, 777.0
+        params = _params(c, f)
+        x = jnp.asarray(rng_np.normal(size=(2, 16, 16, c)), jnp.float32)
+        pm = self._oracle_mask(seed, 2, 16, 16, f, keep)
+        mask4 = pm.reshape(2, 16, 16, f)
+        dy = jnp.asarray(rng_np.normal(size=(2, 16, 16, f)), jnp.float32)
+
+        gx_r, gp_r = jax.grad(
+            lambda x, p: jnp.sum(
+                conv_block_reference(x, p, mask4, True, None)[0] * dy),
+            argnums=(0, 1))(x, params)
+        gx_f, gp_f = jax.grad(
+            lambda x, p: jnp.sum(fused_conv_block(
+                x, p, None, jnp.float32(seed), True, True, keep,
+                None)[0] * dy),
+            argnums=(0, 1))(x, params)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                                   atol=1e-4, rtol=1e-3)
+        gscale = max(float(jnp.max(jnp.abs(getattr(gp_r, n))))
+                     for n in params._fields)
+        for name in params._fields:
+            a = np.asarray(getattr(gp_r, name))
+            b = np.asarray(getattr(gp_f, name))
+            assert np.max(np.abs(a - b)) < 1e-4 * gscale + 1e-6, name
+
+    def test_mask_statistics(self):
+        from hpfg_tpu.ops.pallas.conv_block import hash_mask_reference
+
+        keep = 0.75
+        m = np.asarray(hash_mask_reference(99.0, 0, 64, 512, keep))
+        frac = (m > 0).mean()
+        assert abs(frac - keep) < 0.02
+        np.testing.assert_allclose(m[m > 0], 1.0 / keep)
+        # different images/seeds decorrelate
+        m2 = np.asarray(hash_mask_reference(99.0, 1, 64, 512, keep))
+        assert 0.5 < ((m > 0) == (m2 > 0)).mean() < 0.75
