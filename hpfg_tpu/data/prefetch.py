@@ -36,14 +36,24 @@ def compress_wire(batch: dict) -> dict:
     step. Halving/quartering the bytes is the difference between a
     transfer-bound and a compute-bound loop (on real hosts it still halves
     PCIe traffic). ``restore_wire_dtypes`` undoes it inside the jitted step
-    (a free on-device cast)."""
+    (a free on-device cast).
+
+    Int compression is decided STATICALLY by key name (``label`` in the
+    key), never from per-batch values: a value-dependent dtype would flip
+    between uint8 and int32 across batches and silently retrigger the
+    multi-minute recompile of the donated train step. Class-id labels
+    outside [0, 255] are a schema error and raise."""
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
         if v.dtype in (np.float64, np.float32):
             out[k] = v.astype(np.float16)
-        elif v.dtype in (np.int64, np.int32) and v.size \
-                and v.min() >= 0 and v.max() <= 255:
+        elif v.dtype in (np.int64, np.int32) and "label" in k.lower():
+            if v.size and (v.min() < 0 or v.max() > 255):
+                raise ValueError(
+                    f"compress_wire: int field {k!r} has values outside "
+                    f"[0, 255] (min {v.min()}, max {v.max()}); class-id "
+                    "labels must fit uint8 (255 = ignore)")
             out[k] = v.astype(np.uint8)
         else:
             out[k] = v

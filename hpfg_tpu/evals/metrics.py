@@ -72,13 +72,17 @@ def binary_asd(pred, gt) -> float:
 
 
 def calculate_metric_percase(pred, gt) -> tuple[float, float]:
-    """Dice + HD95 for one class with the reference's edge-case rule
-    (val.py:376-387): empty prediction → (0, 0). (The reference's middle
-    branch `pred>0 and gt==0 → (1, 0)` is unreachable there and preserved
-    only in `calculate_metric_percase_full`.)"""
+    """Dice + HD95 for one class with the reference's 3-branch edge rule
+    (val.py:376-387): both non-empty → (dc, hd95); pred non-empty but gt
+    empty → (1, 0) — reachable when an early checkpoint hallucinates a
+    class absent from a test volume; else → (0, 0). (Some reference
+    variants, main.py:353-361, drop the middle branch; the canonical
+    val.py form is matched here.)"""
     pred, gt = _as_binary(pred), _as_binary(gt)
     if pred.sum() > 0 and gt.sum() > 0:
         return binary_dice(pred, gt), binary_hd95(pred, gt)
+    if pred.sum() > 0 and gt.sum() == 0:
+        return 1.0, 0.0
     return 0.0, 0.0
 
 

@@ -49,12 +49,17 @@ class SliceForward:
     """
 
     def __init__(self, apply_fn: Callable, chunk: int = DEFAULT_CHUNK,
-                 output_index: int | None = None, mesh=None):
+                 output_index: int | None = None, mesh=None,
+                 wire_dtype=None):
         """``output_index`` selects one head from tuple-output models: 0 for
         deep-supervision mains (reference test_single_volume_ds,
         val.py:290-308) and SS-Net's (logits, feature) outputs
-        (val.py:353-373)."""
+        (val.py:353-373). ``wire_dtype`` sets the host→device eval input
+        precision (default module WIRE_DTYPE = f16; pass np.float32 for
+        full-precision parity eval, e.g. fp32-compute configs)."""
         self.mesh = mesh
+        self.wire_dtype = np.dtype(WIRE_DTYPE if wire_dtype is None
+                                   else wire_dtype)
         if mesh is not None and mesh.devices.size > 1:
             chunk = pad_to_multiple(chunk, mesh.devices.size)
         self.chunk = chunk
@@ -104,7 +109,7 @@ def predict_volume(forward: SliceForward, variables, image: np.ndarray,
     """image: [D, H, W] → predicted labels [D, H, W] (native resolution)."""
     d, h, w = image.shape
     resized = _resize_volume(image, patch_size, zoom_order)
-    preds = forward(variables, resized[..., None].astype(WIRE_DTYPE))
+    preds = forward(variables, resized[..., None].astype(forward.wire_dtype))
     ph, pw = patch_size
     if (h, w) != (ph, pw):
         ys = _zoom_index_map(ph, h)
@@ -167,7 +172,7 @@ def volume_confusion_sums(forward: SliceForward, variables,
     ph, pw = patch_size
     resized = _resize_volume(image, patch_size, zoom_order)
     chunks = forward.device_chunks(
-        variables, resized[..., None].astype(WIRE_DTYPE))
+        variables, resized[..., None].astype(forward.wire_dtype))
 
     hb, wb = pad_to_multiple(h, HW_BUCKET), pad_to_multiple(w, HW_BUCKET)
     ys = np.zeros(hb, np.int32)
@@ -234,12 +239,15 @@ def _confusion_and_unzoom_fn(num_classes: int):
 
 
 def dice_from_sums(sums: np.ndarray) -> np.ndarray:
-    """Per-class dice with the reference's empty-mask edge rule
-    (val.py:376-387 via calculate_metric_percase): pred or gt empty → 0."""
+    """Per-class dice with the reference's 3-branch edge rule
+    (val.py:376-387 via calculate_metric_percase): both non-empty → dice;
+    pred non-empty but gt empty → 1 (a hallucinated class on a volume that
+    lacks it scores 1, reachable for early-training checkpoints); else 0."""
     inter, ps, ls = sums[:, 0], sums[:, 1], sums[:, 2]
     denom = ps + ls
     dice = np.where((ps > 0) & (ls > 0),
-                    2.0 * inter / np.maximum(denom, 1), 0.0)
+                    2.0 * inter / np.maximum(denom, 1),
+                    np.where((ps > 0) & (ls == 0), 1.0, 0.0))
     return dice
 
 
@@ -290,7 +298,7 @@ def evaluate_images(forward: SliceForward, variables, loader,
     sums = np.zeros(4 if full_metrics else 2, dtype=np.float64)
     n = 0
     for images, labels in loader:
-        images = np.asarray(images, dtype=WIRE_DTYPE)
+        images = np.asarray(images, dtype=forward.wire_dtype)
         labels = np.asarray(labels)
         preds = forward(variables, images)
         bs = images.shape[0]

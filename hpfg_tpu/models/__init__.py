@@ -112,7 +112,15 @@ def build_model(cfg, dtype=jnp.float32):
     if name == "swinmae":
         from hpfg_tpu.models.swin_mae import SwinMAE
 
-        return SwinMAE(in_channels=in_channels,
+        kwargs = {}
+        # test/dryrun hooks: scale the geometry down from config (same
+        # pattern as unet's feature_chns hook above)
+        for key in ("window_size", "embed_dim", "decoder_embed_dim"):
+            if key in cfg:
+                kwargs[key] = int(cfg[key])
+        if "num_heads" in cfg:
+            kwargs["num_heads"] = tuple(cfg.num_heads)
+        return SwinMAE(in_channels=in_channels, img_size=_image_size(cfg),
                        mask_ratio=float(cfg.get("mask_ratio", 0.75)),
-                       dtype=dtype)
+                       dtype=dtype, **kwargs)
     raise NotImplementedError(f"unknown model {name!r}")

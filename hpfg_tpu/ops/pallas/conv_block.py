@@ -425,9 +425,13 @@ def _seed_spec():
 
 
 def _seed_arr(seed):
+    # The seed enters fused_conv_block as an f32 scalar (exact small int;
+    # f32 keeps the custom_vjp tangent plumbing trivial) but must reach SMEM
+    # as int32: Mosaic lowers i32->u32 (bitcast) but has NO f32->u32 cast —
+    # shipping f32 here crashes at lowering time. Convert in XLA-land.
     if seed is None:
-        return jnp.zeros((1,), jnp.float32)
-    return jnp.asarray(seed, jnp.float32).reshape(1)
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.asarray(seed, jnp.int32).reshape(1)
 
 
 def _bn_act_conv_stats(h2, avec, bvec_aff, mask2, wbig, bvec, *, c, f, h, w,

@@ -57,30 +57,30 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
         o_ref[:, :, sl] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
-def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                     bias: jnp.ndarray, mask: jnp.ndarray, heads: int,
-                     interpret: bool = False) -> jnp.ndarray:
-    """Fused per-window attention.
+def _pad_windows(arrs, l, blk):
+    """Pad the window axis of each [Bn, ...] array up to a multiple of blk
+    (zeros; padded windows carry zero q/k/v/mask/do so they contribute
+    nothing to outputs or accumulated bias gradients)."""
+    bn = arrs[0].shape[0]
+    pad = (-bn) % blk
+    if not pad:
+        return arrs, bn
+    out = [jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+           for a in arrs]
+    return out, bn
 
-    q/k/v: [Bn, L, C] window tokens (C = heads * head_dim)
-    bias:  [heads, L, L] relative position bias
-    mask:  [Bn, L, L] additive mask (pass zeros when not shifted)
-    Returns [Bn, L, C].
-    """
+
+def _qkv_spec(blk, l, c):
+    return pl.BlockSpec((blk, l, c), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _forward_call(q, k, v, bias, mask, heads, interpret):
     bn, l, c = q.shape
     head_dim = c // heads
     scale = head_dim ** -0.5
-
     blk = min(WINDOW_BLOCK, bn)
-    pad = (-bn) % blk
-    if pad:
-        zq = jnp.zeros((pad, l, c), q.dtype)
-        q = jnp.concatenate([q, zq])
-        k = jnp.concatenate([k, zq.astype(k.dtype)])
-        v = jnp.concatenate([v, zq.astype(v.dtype)])
-        mask = jnp.concatenate(
-            [mask, jnp.zeros((pad, l, l), mask.dtype)])
+    (q, k, v, mask), bn = _pad_windows([q, k, v, mask], l, blk)
     n_blocks = q.shape[0] // blk
 
     out = pl.pallas_call(
@@ -88,23 +88,138 @@ def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           head_dim=head_dim),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((blk, l, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, l, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, l, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _qkv_spec(blk, l, c), _qkv_spec(blk, l, c), _qkv_spec(blk, l, c),
             pl.BlockSpec((heads, l, l), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((blk, l, l), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((blk, l, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=_qkv_spec(blk, l, c),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
     )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32))
     return out[:bn]
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, dbias_ref, *,
+                     scale: float, heads: int, head_dim: int):
+    """Backward for one block of windows: recompute the softmax (residuals
+    at ws²=49 tokens are cheaper to rebuild than to round-trip through HBM)
+    then the standard attention VJP. dbias accumulates across the
+    sequential TPU grid into a single [H, L, L] block."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
+
+    for h in range(heads):  # static unroll over heads
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[:, :, sl].astype(jnp.float32) * scale  # [BLK, L, D]
+        k = k_ref[:, :, sl].astype(jnp.float32)
+        v = v_ref[:, :, sl].astype(jnp.float32)
+        do = do_ref[:, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = s + bias_ref[h][None, :, :] + mask_ref[:, :, :]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [BLK, L, L]
+        # dv[b,j,d] = sum_i p[b,i,j] do[b,i,d]
+        dv = jax.lax.dot_general(
+            p, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # dp[b,i,j] = sum_d do[b,i,d] v[b,j,d]
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        # dq[b,i,d] = scale * sum_j ds[b,i,j] k[b,j,d]
+        dq = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        # dk[b,j,d] = sum_i ds[b,i,j] (q*scale)[b,i,d]  (q already scaled)
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+        dbias_ref[h] += jnp.sum(ds, axis=0)
+
+
+def _backward_call(q, k, v, bias, mask, do, heads, interpret):
+    bn, l, c = q.shape
+    head_dim = c // heads
+    scale = head_dim ** -0.5
+    blk = min(WINDOW_BLOCK, bn)
+    (q, k, v, mask, do), bn = _pad_windows([q, k, v, mask, do], l, blk)
+    n_blocks = q.shape[0] // blk
+
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, heads=heads,
+                          head_dim=head_dim),
+        grid=(n_blocks,),
+        in_specs=[
+            _qkv_spec(blk, l, c), _qkv_spec(blk, l, c), _qkv_spec(blk, l, c),
+            pl.BlockSpec((heads, l, l), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, l, l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _qkv_spec(blk, l, c),
+        ],
+        out_specs=[
+            _qkv_spec(blk, l, c), _qkv_spec(blk, l, c), _qkv_spec(blk, l, c),
+            pl.BlockSpec((heads, l, l), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct((heads, l, l), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32), do)
+    return dq[:bn], dk[:bn], dv[:bn], dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _window_attention(q, k, v, bias, mask, heads, interpret):
+    return _forward_call(q, k, v, bias, mask, heads, interpret)
+
+
+def _wa_fwd(q, k, v, bias, mask, heads, interpret):
+    out = _forward_call(q, k, v, bias, mask, heads, interpret)
+    return out, (q, k, v, bias, mask)
+
+
+def _wa_bwd(heads, interpret, res, do):
+    q, k, v, bias, mask = res
+    dq, dk, dv, dbias = _backward_call(q, k, v, bias, mask,
+                                       do.astype(q.dtype), heads, interpret)
+    # The shifted-window mask is built from iota comparisons — a constant;
+    # a zero cotangent is exact and skips an [Bn, L, L] HBM write.
+    return dq, dk, dv, dbias.astype(bias.dtype), jnp.zeros_like(mask)
+
+
+_window_attention.defvjp(_wa_fwd, _wa_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     bias: jnp.ndarray, mask: jnp.ndarray, heads: int,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fused per-window attention (differentiable: custom VJP with a
+    recompute-softmax Pallas backward).
+
+    q/k/v: [Bn, L, C] window tokens (C = heads * head_dim)
+    bias:  [heads, L, L] relative position bias
+    mask:  [Bn, L, L] additive mask (pass zeros when not shifted)
+    Returns [Bn, L, C].
+    """
+    return _window_attention(q, k, v, bias, mask, heads, interpret)
 
 
 def window_attention_reference(q, k, v, bias, mask, heads):

@@ -150,10 +150,24 @@ class Trainer:
                         len(report["missing_target"]))
         return state.replace(**updates) if updates else state
 
-    def resume(self, state, tag: str = "last"):
-        if self.ckpt.exists(tag):
+    def resume(self, state, tag: str = "last", strict: bool = False):
+        """Restore ``tag`` into ``state``. ``tag='last'`` resolves to the
+        newest committed crash-recovery point (last / last_a / last_b).
+        ``strict`` raises when the tag does not exist — an explicitly
+        requested checkpoint silently degrading to scratch training is a
+        footgun (ADVICE r2)."""
+        if tag == "last":
+            resolved = self.ckpt.latest_resume_tag("last")
+            if resolved is not None:
+                self.logger.info("resuming from checkpoint %r", resolved)
+                return self.ckpt.restore(resolved, state)
+        elif self.ckpt.exists(tag):
             self.logger.info("resuming from checkpoint %r", tag)
             return self.ckpt.restore(tag, state)
+        if strict:
+            raise FileNotFoundError(
+                f"requested checkpoint {tag!r} not found under "
+                f"{self.ckpt.directory}")
         return state
 
     # ------------------------------------------------------------------
@@ -184,7 +198,13 @@ class Trainer:
 
         def cached_step(state, mega):
             k = jnp.mod(state.step, e)
-            batch = jax.tree_util.tree_map(lambda v: v[k], mega)
+            # dynamic_index_in_dim lowers to a dynamic-slice on the
+            # REPLICATED epoch axis — jnp's v[k] with a traced k emits a
+            # gather, which sends GSPMD down pathological partitioning
+            # paths on the batch-sharded cache (r2: >20-min flaky compiles)
+            batch = jax.tree_util.tree_map(
+                lambda v: jax.lax.dynamic_index_in_dim(v, k, 0,
+                                                       keepdims=False), mega)
             batch = restore_wire_dtypes(batch)
             if device_augment:
                 from hpfg_tpu.ops.augment import augment_batch_dict
@@ -278,8 +298,10 @@ class Trainer:
                     for tag, img in panels_fn(state, batch).items():
                         self.writer.add_image(tag, img, cur)
                 # periodic crash-recovery checkpoint (async, off the hot
-                # path); resume with ckpt=last / auto_resume=1
-                self.ckpt.save("last", state)
+                # path; alternates last_a/last_b so a crash mid-save never
+                # destroys the only recovery point); resume with ckpt=last
+                # / auto_resume=1
+                self.ckpt.save_rotating(state)
 
         if prefetcher is not None:
             prefetcher.close()
@@ -374,5 +396,12 @@ class Trainer:
                     return model.apply(variables, x, method=model.val)
                 return model.apply(variables, x, train=False)
 
-            self._fwd_cache[key] = SliceForward(apply_fn, mesh=self.mesh)
+            # eval wire precision follows the train-side wire_compress flag:
+            # f16 halves H2D (free: models cast inputs to compute dtype as
+            # their first op), but fp32-parity runs can opt out via config
+            import numpy as _np
+
+            self._fwd_cache[key] = SliceForward(
+                apply_fn, mesh=self.mesh,
+                wire_dtype=_np.float16 if self.wire_compress else _np.float32)
         return self._fwd_cache[key]

@@ -41,6 +41,33 @@ class CheckpointManager:
         """Block until all pending async saves are committed to disk."""
         self._ckpt.wait_until_finished()
 
+    # Crash-recovery rotation: save(force=True) DELETES the existing target
+    # directory before the async commit lands, so overwriting a single
+    # 'last' tag in place has a window where a crash destroys the only
+    # recovery point — exactly when auto_resume is needed. Alternate
+    # between two tags instead; resume picks the newest COMMITTED one
+    # (orbax writes to a tmp dir and renames atomically, so a directory
+    # that exists is complete).
+    _ROTATE_TAGS = ("last_a", "last_b")
+
+    def save_rotating(self, state: Any) -> None:
+        """Non-blocking crash-recovery save alternating last_a/last_b."""
+        if not hasattr(self, "_rot_idx"):
+            self._rot_idx = 0
+        tag = self._ROTATE_TAGS[self._rot_idx]
+        self._rot_idx ^= 1
+        self.save(tag, state)
+
+    def latest_resume_tag(self, preferred: str = "last") -> str | None:
+        """Newest committed tag among ``preferred``/last_a/last_b, by
+        mtime; None when no resume point exists."""
+        candidates = [t for t in (preferred,) + self._ROTATE_TAGS
+                      if self.exists(t)]
+        if not candidates:
+            return None
+        return max(candidates,
+                   key=lambda t: os.path.getmtime(self._path(t)))
+
     def restore(self, tag: str, target: Any = None) -> Any:
         """Restore into the structure of ``target`` (an abstract or concrete
         state pytree); with ``target=None`` returns the raw saved pytree as

@@ -1,0 +1,296 @@
+"""Training-trajectory parity: PyTorch reference Mean-Teacher vs the rebuild.
+
+Trains BOTH frameworks on the SAME synthetic ACDC phantoms (identical h5
+files, identical batch-index sequences, matched hyperparameters, fp32, no
+augmentation) for --iters iterations of the reference Mean-Teacher recipe
+(/root/reference/2017_03_NIPS_Mean-Teacher_ACDC.py:63-162):
+
+  loss = 0.5·CE + 0.5·soft-dice on the labeled half
+       + w(t)·MSE(softmax(student_u), softmax(teacher_u))   [sigmoid rampup]
+  SGD(lr, momentum, wd) + medical poly-0.9 decay; EMA teacher 0.99.
+
+The torch side drives the reference's own model (imported from the
+read-only mount, model/unet.py:155-178) with losses re-stated inline (CE
+ignore-255 + per-class soft dice — the Med_Sup_Loss definition,
+utils/loss/medloss.py:46-56). Every --eval-every iters both sides compute
+volume dice on the same held-out phantoms. Output: PARITY.md table.
+
+Run (CPU, ~15 min on 1 core):
+    JAX_PLATFORMS=cpu python scripts/parity_train.py --iters 1000
+
+Writes PARITY_TRAIN.md (PARITY.md is the component-inventory map).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+REFERENCE_ROOT = "/root/reference"
+
+HW = 32
+NUM_CLASSES = 4
+LABEL_BS, UNLABEL_BS = 4, 8
+LR, MOMENTUM, WD = 0.01, 0.9, 5e-4
+EMA_DECAY = 0.99
+CONSISTENCY, RAMPUP = 0.1, 200.0
+
+
+# ---------------------------------------------------------------------------
+# shared data
+# ---------------------------------------------------------------------------
+
+def make_data(root: str):
+    from hpfg_tpu.data.synthetic import make_synthetic_acdc
+
+    make_synthetic_acdc(root, n_train_slices=40, n_test_volumes=2, depth=6,
+                        hw=(HW, HW), seed=7)
+    import h5py
+
+    names = [ln.strip() for ln in open(os.path.join(root, "train_slices.list"))]
+    imgs, lbls = [], []
+    for n in names:
+        with h5py.File(os.path.join(root, "data", "slices", f"{n}.h5")) as f:
+            imgs.append(np.asarray(f["image"], np.float32))
+            lbls.append(np.asarray(f["label"], np.int64))
+    vols = []
+    for n in [ln.strip() for ln in open(os.path.join(root, "test.list"))]:
+        with h5py.File(os.path.join(root, "data", f"{n}.h5")) as f:
+            vols.append((np.asarray(f["image"], np.float32),
+                         np.asarray(f["label"], np.int64)))
+    return np.stack(imgs), np.stack(lbls), vols
+
+
+def batch_schedule(n_slices: int, iters: int, seed: int = 0):
+    """Identical labeled/unlabeled index sequences for both frameworks.
+    First half of the slice pool acts as 'labeled', all slices as
+    'unlabeled' (label_num semantics are irrelevant to parity)."""
+    rng = np.random.default_rng(seed)
+    n_lab = n_slices // 2
+    sched = []
+    for _ in range(iters):
+        sched.append((rng.integers(0, n_lab, LABEL_BS),
+                      rng.integers(0, n_slices, UNLABEL_BS)))
+    return sched
+
+
+def mean_dice(pred_vols, gt_vols) -> float:
+    """Reference test_acdc averaging (val.py:154-193), dice only, with the
+    3-branch per-class rule."""
+    from hpfg_tpu.evals.metrics import calculate_metric_percase
+
+    per_class = np.zeros(NUM_CLASSES - 1)
+    for pred, gt in zip(pred_vols, gt_vols):
+        for c in range(1, NUM_CLASSES):
+            per_class[c - 1] += calculate_metric_percase(pred == c, gt == c)[0]
+    return float(per_class.mean() / len(pred_vols))
+
+
+def rampup_weight(it: int) -> float:
+    # get_current_consistency_weight: consistency * sigmoid_rampup(it//150,
+    # rampup) (reference utils/utils.py:67-79; //150 epoch unit)
+    t = np.clip((it // 150) / RAMPUP, 0.0, 1.0)
+    return CONSISTENCY * float(np.exp(-5.0 * (1.0 - t) ** 2))
+
+
+def lr_at(it: int, total: int) -> float:
+    return LR * (1.0 - it / total) ** 0.9  # Medical_LR, scheduler/medical_lr.py
+
+
+# ---------------------------------------------------------------------------
+# torch reference side
+# ---------------------------------------------------------------------------
+
+def run_torch(imgs, lbls, vols, sched, iters, eval_every):
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    spec = importlib.util.spec_from_file_location(
+        "ref_unet", f"{REFERENCE_ROOT}/model/unet.py")
+    ref_unet = importlib.util.module_from_spec(spec)
+    sys.modules["ref_unet"] = ref_unet
+    spec.loader.exec_module(ref_unet)
+
+    model = ref_unet.UNet(in_chns=1, class_num=NUM_CLASSES)
+    ema = ref_unet.UNet(in_chns=1, class_num=NUM_CLASSES)
+    ema.load_state_dict(model.state_dict())
+    for p in ema.parameters():
+        p.requires_grad_(False)
+    opt = torch.optim.SGD(model.parameters(), lr=LR, momentum=MOMENTUM,
+                          weight_decay=WD)
+
+    def med_sup_loss(logits, target):
+        ce = F.cross_entropy(logits, target, ignore_index=255)
+        soft = torch.softmax(logits, dim=1)
+        onehot = F.one_hot(target, NUM_CLASSES).permute(0, 3, 1, 2).float()
+        dims = (0, 2, 3)
+        inter = (soft * onehot).sum(dims)
+        denom = soft.sum(dims) + onehot.sum(dims)
+        dice = 1.0 - ((2 * inter + 1e-5) / (denom + 1e-5)).mean()
+        return 0.5 * ce + 0.5 * dice
+
+    t_imgs = torch.from_numpy(imgs)[:, None]  # [N,1,H,W]
+    t_lbls = torch.from_numpy(lbls)
+
+    def eval_dice():
+        model.eval()
+        preds = []
+        with torch.no_grad():
+            for vol, _ in vols:
+                x = torch.from_numpy(vol)[:, None]
+                preds.append(model(x).argmax(1).numpy())
+        model.train()
+        return mean_dice(preds, [g for _, g in vols])
+
+    curve = []
+    for it, (li, ui) in enumerate(sched):
+        x = torch.cat([t_imgs[li], t_imgs[ui]])
+        y = t_lbls[li]
+        out = model(x)
+        with torch.no_grad():
+            ema_out = ema(x)
+        loss = med_sup_loss(out[:LABEL_BS], y)
+        cons = F.mse_loss(torch.softmax(out[LABEL_BS:], 1),
+                          torch.softmax(ema_out[LABEL_BS:], 1))
+        loss = loss + rampup_weight(it) * cons
+        for g in opt.param_groups:
+            g["lr"] = lr_at(it, iters)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        # update_ema_variables (utils/utils.py:82-86)
+        alpha = min(1.0 - 1.0 / (it + 1), EMA_DECAY)
+        with torch.no_grad():
+            for pe, ps in zip(ema.parameters(), model.parameters()):
+                pe.mul_(alpha).add_(ps, alpha=1 - alpha)
+        if (it + 1) % eval_every == 0:
+            d = eval_dice()
+            curve.append((it + 1, d, float(loss)))
+            print(f"[torch] iter {it+1}: dice {d:.4f} loss {float(loss):.4f}",
+                  flush=True)
+    return curve
+
+
+# ---------------------------------------------------------------------------
+# rebuild side
+# ---------------------------------------------------------------------------
+
+def run_jax(imgs, lbls, vols, sched, iters, eval_every):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from hpfg_tpu.config import Config
+    from hpfg_tpu.evals.volume import SliceForward
+    from hpfg_tpu.train.algorithms import build_algorithm
+    from hpfg_tpu.train.algorithms.base import eval_variables
+
+    cfg = Config(
+        datasets="acdc", num_classes=NUM_CLASSES, in_channels=1,
+        train_crop_size=[HW, HW], test_crop_size=[HW, HW],
+        batch_size=LABEL_BS, unlabel_batch_size=UNLABEL_BS,
+        label_num=0.5, consistency=CONSISTENCY, consistency_rampup=RAMPUP,
+        ema_decay=EMA_DECAY, model="unet", seed=0, total_itrs=iters,
+        step_size=eval_every, opt="sgd", lr=LR, weight_decay=WD,
+        momentum=MOMENTUM, sched="medical",
+    )
+    algo = build_algorithm("mean_teacher", cfg, dtype=jnp.float32)
+    state = algo.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(algo.step, donate_argnums=(0,))
+
+    imgs4 = imgs[..., None]
+
+    def eval_dice(state):
+        model, mstate = algo.eval_models(state)["model1"]
+
+        def apply_fn(variables, x):
+            if hasattr(model, "val"):
+                return model.apply(variables, x, method=model.val)
+            return model.apply(variables, x, train=False)
+
+        fwd = SliceForward(apply_fn, chunk=8, wire_dtype=np.float32)
+        variables = eval_variables(mstate)
+        preds = [fwd(variables, v[..., None].astype(np.float32))
+                 for v, _ in vols]
+        return mean_dice(preds, [g for _, g in vols])
+
+    curve = []
+    for it, (li, ui) in enumerate(sched):
+        batch = {
+            "label_img": jnp.asarray(imgs4[li]),
+            "label": jnp.asarray(lbls[li].astype(np.int32)),
+            "unlabel_img": jnp.asarray(imgs4[ui]),
+        }
+        state, metrics = step(state, batch)
+        if (it + 1) % eval_every == 0:
+            d = eval_dice(state)
+            loss = float(np.asarray(metrics["loss"]))
+            curve.append((it + 1, d, loss))
+            print(f"[jax]   iter {it+1}: dice {d:.4f} loss {loss:.4f}",
+                  flush=True)
+    return curve
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=1000)
+    ap.add_argument("--eval-every", type=int, default=100)
+    ap.add_argument("--data", default="/tmp/parity_acdc")
+    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_TRAIN.md"))
+    args = ap.parse_args()
+
+    imgs, lbls, vols = make_data(args.data)
+    sched = batch_schedule(len(imgs), args.iters)
+
+    t0 = time.time()
+    torch_curve = run_torch(imgs, lbls, vols, sched, args.iters,
+                            args.eval_every)
+    t_torch = time.time() - t0
+    t0 = time.time()
+    jax_curve = run_jax(imgs, lbls, vols, sched, args.iters, args.eval_every)
+    t_jax = time.time() - t0
+
+    lines = [
+        "# Training-trajectory parity: reference (PyTorch) vs rebuild (JAX)",
+        "",
+        "Mean-Teacher, matched setting: synthetic ACDC phantoms "
+        f"({HW}², fp32, no augmentation), identical batch-index "
+        f"schedule, {LABEL_BS}+{UNLABEL_BS} batch, SGD lr {LR} mom "
+        f"{MOMENTUM} wd {WD}, medical decay, EMA {EMA_DECAY}, consistency "
+        f"{CONSISTENCY}/rampup {RAMPUP}. Reference driver: "
+        "2017_03_NIPS_Mean-Teacher_ACDC.py:63-162 over the reference's own "
+        "model/unet.py. Dropout/init RNGs differ by framework -> "
+        "distributional (not bitwise) parity; acceptance band ±0.5 "
+        "dice points (BASELINE.md).",
+        "",
+        "| iter | torch dice | jax dice | Δ dice | torch loss | jax loss |",
+        "|---|---|---|---|---|---|",
+    ]
+    for (it, dt_, lt), (_, dj, lj) in zip(torch_curve, jax_curve):
+        lines.append(f"| {it} | {dt_:.4f} | {dj:.4f} | {dj - dt_:+.4f} "
+                     f"| {lt:.4f} | {lj:.4f} |")
+    final_gap = jax_curve[-1][1] - torch_curve[-1][1]
+    lines += [
+        "",
+        f"Final-dice gap: {final_gap:+.4f} "
+        f"({'WITHIN' if abs(final_gap) <= 0.005 else 'OUTSIDE'} the "
+        "±0.5-point band).",
+        f"Wall time (1-core CPU): torch {t_torch:.0f}s, jax {t_jax:.0f}s "
+        "(incl. compile).",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

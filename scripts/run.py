@@ -53,10 +53,14 @@ def run(default_config: str, algorithm: str | None = None, argv=None):
     state = None  # fit() initializes (and applies pretrain_ckpt transfers)
     ckpt_tag = cfg.get("ckpt")
     if ckpt_tag and str(ckpt_tag).lower() not in ("none", "null"):
-        state = trainer.resume(trainer.init_state(), str(ckpt_tag))
-    elif cfg.get("auto_resume") and trainer.ckpt.exists("last"):
-        # crash-recovery: pick up the periodic checkpoint the Trainer
-        # writes at every eval boundary
+        # explicit request: a missing checkpoint raises instead of silently
+        # degrading to scratch training without the pretrain transfer
+        state = trainer.resume(trainer.init_state(), str(ckpt_tag),
+                               strict=True)
+    elif cfg.get("auto_resume") and \
+            trainer.ckpt.latest_resume_tag("last") is not None:
+        # crash-recovery: pick up the newest committed periodic checkpoint
+        # (last / last_a / last_b) the Trainer writes at eval boundaries
         state = trainer.resume(trainer.init_state(), "last")
 
     from hpfg_tpu.utils.errors import error_hints

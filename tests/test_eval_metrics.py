@@ -61,6 +61,26 @@ class TestBinaryMetrics:
         gt[2:4, 2:4] = 1
         assert calculate_metric_percase(np.zeros((8, 8)), gt) == (0.0, 0.0)
 
+    def test_percase_pred_only_middle_branch(self):
+        """reference val.py:376-387 middle branch: pred>0 ∧ gt==0 → (1, 0)
+        (reachable: an early checkpoint hallucinating a class absent from a
+        test volume)."""
+        pred = np.zeros((8, 8))
+        pred[1:3, 1:3] = 1
+        assert calculate_metric_percase(pred, np.zeros((8, 8))) == (1.0, 0.0)
+
+    def test_dice_from_sums_middle_branch(self):
+        """On-device confusion-sum path agrees with the 3-branch rule."""
+        from hpfg_tpu.evals.volume import dice_from_sums
+
+        sums = np.array([
+            [4, 4, 4],   # perfect overlap → 1
+            [0, 5, 0],   # pred only → 1 (middle branch)
+            [0, 0, 5],   # gt only → 0
+            [0, 0, 0],   # both empty → 0
+        ], dtype=np.int64)
+        np.testing.assert_allclose(dice_from_sums(sums), [1.0, 1.0, 0.0, 0.0])
+
     def test_percase_full_pred_only(self):
         pred = np.zeros((8, 8))
         pred[1:3, 1:3] = 1

@@ -47,6 +47,81 @@ class TestWindowAttention:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-5)
 
+    def test_grad_matches_reference(self):
+        """Custom-VJP backward (recompute-softmax Pallas kernel) against
+        jax.grad of the jnp oracle — all four differentiable inputs."""
+        q, k, v, bias, mask = self._data(seed=3)
+
+        def loss_pl(q, k, v, bias):
+            o = window_attention(q, k, v, bias, mask, heads=2,
+                                 interpret=True)
+            return jnp.sum(jnp.sin(o))
+
+        def loss_ref(q, k, v, bias):
+            o = window_attention_reference(q, k, v, bias, mask, heads=2)
+            return jnp.sum(jnp.sin(o))
+
+        got = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for g, w, name in zip(got, want, ("dq", "dk", "dv", "dbias")):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=5e-4, atol=5e-5, err_msg=name)
+
+    def test_grad_padding_path(self):
+        """Window-axis padding must not pollute dbias (padded windows have
+        zero do, hence zero ds)."""
+        q, k, v, bias, mask = self._data(bn=19, seed=4)
+
+        def loss(fn):
+            def f(q, k, v, bias):
+                kw = dict(interpret=True) if fn is window_attention else {}
+                return jnp.sum(fn(q, k, v, bias, mask, heads=2, **kw) ** 2)
+            return f
+
+        got = jax.grad(loss(window_attention), argnums=(0, 3))(q, k, v, bias)
+        want = jax.grad(loss(window_attention_reference),
+                        argnums=(0, 3))(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                                   rtol=5e-4, atol=5e-5)
+
+    def test_swin_attention_module_grad_pallas(self):
+        """Grad through the WindowAttention module with use_pallas forced on
+        (the exact path that crashed at trace time in round 2 — s4cvnet /
+        supervised-swinunet configs train model2=swinunet on TPU)."""
+        from hpfg_tpu.models.swinunet import WindowAttention
+        import importlib
+
+        x = jnp.asarray(np.random.default_rng(5).normal(
+            size=(2, 6, 6, 8)).astype(np.float32))
+        rngs = {"params": jax.random.PRNGKey(0)}
+        mod_ref = WindowAttention(dim=8, window_size=3, num_heads=2,
+                                  shift=True, use_pallas=False)
+        variables = mod_ref.init(rngs, x, train=True)
+
+        wa = importlib.import_module("hpfg_tpu.ops.pallas.window_attention")
+        orig = wa.window_attention
+        wa.window_attention = lambda *a, **k: orig(*a, interpret=True, **k)
+        try:
+            mod_pl = WindowAttention(dim=8, window_size=3, num_heads=2,
+                                     shift=True, use_pallas=True)
+
+            def loss(fn):
+                return lambda p: jnp.sum(
+                    fn.apply({"params": p}, x, train=True) ** 2)
+
+            g_pl = jax.grad(loss(mod_pl))(variables["params"])
+        finally:
+            wa.window_attention = orig
+        g_ref = jax.grad(loss(mod_ref))(variables["params"])
+        flat_pl = jax.tree_util.tree_leaves_with_path(g_pl)
+        flat_ref = dict(jax.tree_util.tree_leaves_with_path(g_ref))
+        for path, leaf in flat_pl:
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat_ref[path]),
+                rtol=5e-4, atol=5e-5, err_msg=str(path))
+
     def test_swin_model_pallas_flag_matches_jnp(self):
         """SwinUNet with use_pallas (interpret via CPU default backend is
         skipped — flag off on CPU); here directly compare the attention

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hpfg_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
 from hpfg_tpu.train.algorithms import build_algorithm
@@ -80,24 +81,59 @@ def test_mean_teacher_step_on_mesh(synthetic_acdc):
                                rtol=2e-3)
 
 
-def test_hpfg_step_on_mesh(synthetic_acdc):
+def _make_algo(name, synthetic_acdc):
+    """Tiny 8-labeled/16-unlabeled setup for every SSL algorithm."""
     cfg = tiny_cfg(synthetic_acdc, batch_size=8, unlabel_batch_size=16)
-    cfg.model1 = tiny_model_block(model="unet_plus")
-    cfg.model2 = tiny_model_block(model="unet_plus")
-    algo = build_algorithm("hpfg", cfg)
-    algo.label_bs, algo.unlabel_bs = 8, 16
-    state = algo.init_state(jax.random.PRNGKey(0))
+    if name == "ict":
+        cfg.ict_alpha = 0.2
+    if name in ("cps", "ctct", "s4cvnet"):
+        cfg.model1 = tiny_model_block(model="unet")
+        cfg.model2 = tiny_model_block(model="unet")
+    if name == "hpfg":
+        cfg.model1 = tiny_model_block(model="unet_plus")
+        cfg.model2 = tiny_model_block(model="unet_plus")
+    return build_algorithm(name, cfg)
+
+
+def _ssl_batch(dual: bool = False) -> dict:
     rng = np.random.default_rng(0)
     batch = {
         "label_img": rng.normal(size=(8, 32, 32, 1)).astype(np.float32),
-        "label": np.zeros((8, 32, 32), np.int32),
-        "label_img1": rng.normal(size=(8, 32, 32, 1)).astype(np.float32),
-        "label1": np.zeros((8, 32, 32), np.int32),
+        "label": rng.integers(0, 4, (8, 32, 32)).astype(np.int32),
         "unlabel_img": rng.normal(size=(16, 32, 32, 1)).astype(np.float32),
     }
+    if dual:
+        batch["label_img1"] = rng.normal(
+            size=(8, 32, 32, 1)).astype(np.float32)
+        batch["label1"] = rng.integers(0, 4, (8, 32, 32)).astype(np.int32)
+    return batch
+
+
+@pytest.mark.parametrize("name", ["hpfg", "uamt", "ict", "cps", "ssnet"])
+def test_sharded_loss_matches_single_device(name, synthetic_acdc):
+    """Data parallelism must not change step semantics: the jitted step on
+    an 8-device-sharded batch produces the same loss (global BN stats,
+    global loss reductions, all_gather'd contrastive batches under GSPMD)
+    as the identical step on one device. ssnet additionally pins the
+    memory-bank contents — its top-k selection over the global batch is
+    the likeliest place GSPMD silently diverges (VERDICT r2 #6)."""
+    algo = _make_algo(name, synthetic_acdc)
+    state = algo.init_state(jax.random.PRNGKey(0))
+    batch = _ssl_batch(dual=(name == "hpfg"))
+    step = jax.jit(algo.step)  # NOT donated: state reused for both runs
+
+    new_single, metrics_single = step(state, jax.tree.map(jnp.asarray, batch))
+
     mesh = make_mesh()
     sharded = shard_batch(mesh, batch)
-    step = jax.jit(algo.step, donate_argnums=(0,))
-    state, metrics = step(state, sharded)
-    assert np.isfinite(float(np.asarray(metrics["loss"])))
-    assert int(np.asarray(state.step)) == 1
+    new_sharded, metrics_sharded = step(state, sharded)
+
+    np.testing.assert_allclose(float(np.asarray(metrics_single["loss"])),
+                               float(np.asarray(metrics_sharded["loss"])),
+                               rtol=2e-3, atol=1e-5)
+    if name == "ssnet":
+        np.testing.assert_allclose(np.asarray(new_single.memory),
+                                   np.asarray(new_sharded.memory),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(new_single.memory_valid),
+                                      np.asarray(new_sharded.memory_valid))
