@@ -120,7 +120,10 @@ def build_model(cfg, dtype=jnp.float32):
                 kwargs[key] = int(cfg[key])
         if "num_heads" in cfg:
             kwargs["num_heads"] = tuple(cfg.num_heads)
+        import jax as _jax
+
         return SwinMAE(in_channels=in_channels, img_size=_image_size(cfg),
                        mask_ratio=float(cfg.get("mask_ratio", 0.75)),
+                       use_pallas=_jax.default_backend() not in ("cpu",),
                        dtype=dtype, **kwargs)
     raise NotImplementedError(f"unknown model {name!r}")

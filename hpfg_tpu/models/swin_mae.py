@@ -73,6 +73,7 @@ class SwinMAE(nn.Module):
     drop_path_rate: float = 0.1
     norm_pix_loss: bool = False
     mask_window: int = 4  # r: r*r patches masked together
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -93,7 +94,8 @@ class SwinMAE(nn.Module):
                   mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                   drop_rate=self.drop_rate,
                   attn_drop_rate=self.attn_drop_rate,
-                  drop_path=self.drop_path_rate, dtype=self.dtype)
+                  drop_path=self.drop_path_rate,
+                  use_pallas=self.use_pallas, dtype=self.dtype)
         self.layers = [SwinStage(index=i, patch_merging=(i != n - 1),
                                  name=f"layer{i}", **kw)
                        for i in range(n)]

@@ -112,8 +112,9 @@ class WindowAttention(nn.Module):
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
                        dtype=self.dtype, name="qkv")(windows)
 
-        # fused Pallas path: attention dropout is 0/eval-only compatible
-        if self.use_pallas and (self.attn_drop == 0.0 or not train):
+        # fused Pallas path (fwd + custom-VJP bwd; in-kernel hash dropout
+        # covers train-mode attn_drop with zero HBM mask traffic)
+        if self.use_pallas:
             from hpfg_tpu.ops.pallas.window_attention import window_attention
 
             l = ws * ws
@@ -125,8 +126,15 @@ class WindowAttention(nn.Module):
                 mask = jnp.tile(smask, (b, 1, 1))
             else:
                 mask = jnp.zeros((qq.shape[0], l, l), jnp.float32)
+            drop = seed = None
+            if train and self.attn_drop > 0.0:
+                drop = 1.0 - self.attn_drop
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    1 << 23).astype(jnp.float32)
             out = window_attention(qq, kk, vv, rel_bias, mask,
-                                   heads=self.num_heads)
+                                   heads=self.num_heads, drop=drop,
+                                   seed=seed)
         else:
             qkv = qkv.reshape(-1, ws * ws, 3, self.num_heads, head_dim)
             q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))

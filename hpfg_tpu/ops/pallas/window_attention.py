@@ -27,13 +27,52 @@ from jax.experimental.pallas import tpu as pltpu
 WINDOW_BLOCK = 16  # windows per program
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
-                 scale: float, heads: int, head_dim: int):
+def _attn_drop_mask(seed_ref, pid, h: int, blk: int, l: int, keep: float):
+    """Pre-scaled (1/keep or 0) attention-dropout mask [BLK, L, L] for head
+    ``h`` of grid program ``pid``, regenerated from the same integer hash
+    the fused ConvBlock uses (ops/pallas/conv_block.py) — zero HBM traffic,
+    and the backward kernel rebuilds the identical mask from (seed, ids)."""
+    from hpfg_tpu.ops.pallas.conv_block import _hash_mask
+
+    win = jax.lax.broadcasted_iota(jnp.int32, (blk, l, l), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (blk, l, l), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (blk, l, l), 2)
+    rows = win * l + i  # flatten (window, query) into the hash row id
+    return _hash_mask(seed_ref[0].astype(jnp.uint32), pid * 1024 + h,
+                      rows, j, l, keep)
+
+
+def attn_drop_mask_reference(seed, bn: int, heads: int, l: int, keep: float,
+                             blk: int | None = None):
+    """jnp oracle of the in-kernel attention-dropout mask: [Bn, H, L, L]
+    pre-scaled masks exactly as the kernel regenerates them (tests)."""
+    from hpfg_tpu.ops.pallas.conv_block import _hash_mask
+
+    blk = blk or min(WINDOW_BLOCK, bn)
+    seed_u32 = jnp.asarray(seed, jnp.uint32)
+    out = []
+    for w in range(bn):
+        pid, win = w // blk, w % blk
+        per_head = []
+        for h in range(heads):
+            i = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+            j = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+            per_head.append(_hash_mask(seed_u32, pid * 1024 + h,
+                                       win * l + i, j, l, keep))
+        out.append(jnp.stack(per_head))
+    return jnp.stack(out)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref, o_ref, *,
+                 scale: float, heads: int, head_dim: int,
+                 drop: float | None):
     """One block of windows.
 
     q/k/v: [BLK, L, H*D] (interleaved head-major packing: h*D + d)
     bias:  [H, L, L] relative-position bias
     mask:  [BLK, L, L] additive shifted-window mask (zeros when unshifted)
+    seed:  [1] int32 SMEM scalar (in-kernel attention dropout; unused when
+           drop is None)
     o:     [BLK, L, H*D]
     """
     blk, l, hd = q_ref.shape
@@ -51,6 +90,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if drop is not None:  # dropout on the attention probabilities
+            p = p * _attn_drop_mask(seed_ref, pl.program_id(0), h, blk, l,
+                                    drop)
         o = jax.lax.dot_general(
             p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
@@ -75,7 +117,19 @@ def _qkv_spec(blk, l, c):
                         memory_space=pltpu.VMEM)
 
 
-def _forward_call(q, k, v, bias, mask, heads, interpret):
+def _seed_arr(seed):
+    # int32 in SMEM: Mosaic lowers i32->u32 but has NO f32->u32 cast (the
+    # conv_block round-2 lesson); convert from the f32 API scalar in XLA.
+    if seed is None:
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.asarray(seed, jnp.int32).reshape(1)
+
+
+def _seed_spec():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _forward_call(q, k, v, bias, mask, seed, heads, interpret, drop):
     bn, l, c = q.shape
     head_dim = c // heads
     scale = head_dim ** -0.5
@@ -85,7 +139,7 @@ def _forward_call(q, k, v, bias, mask, heads, interpret):
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, heads=heads,
-                          head_dim=head_dim),
+                          head_dim=head_dim, drop=drop),
         grid=(n_blocks,),
         in_specs=[
             _qkv_spec(blk, l, c), _qkv_spec(blk, l, c), _qkv_spec(blk, l, c),
@@ -93,21 +147,26 @@ def _forward_call(q, k, v, bias, mask, heads, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((blk, l, l), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            _seed_spec(),
         ],
         out_specs=_qkv_spec(blk, l, c),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
-    )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32))
+    )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32),
+      _seed_arr(seed))
     return out[:bn]
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref, dbias_ref, *,
-                     scale: float, heads: int, head_dim: int):
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, seed_ref,
+                     do_ref, dq_ref, dk_ref, dv_ref, dbias_ref, *,
+                     scale: float, heads: int, head_dim: int,
+                     drop: float | None):
     """Backward for one block of windows: recompute the softmax (residuals
     at ws²=49 tokens are cheaper to rebuild than to round-trip through HBM)
-    then the standard attention VJP. dbias accumulates across the
-    sequential TPU grid into a single [H, L, L] block."""
+    then the standard attention VJP; the dropout mask is regenerated from
+    the same hash as the forward. dbias accumulates across the sequential
+    TPU grid into a single [H, L, L] block."""
+    blk, l, _ = q_ref.shape
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -126,14 +185,23 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)  # [BLK, L, L]
-        # dv[b,j,d] = sum_i p[b,i,j] do[b,i,d]
+        if drop is not None:
+            # y = (m⊙p)@v: dv sees the masked probabilities, and
+            # dL/dp = m ⊙ (do@vᵀ) before the softmax backward
+            m = _attn_drop_mask(seed_ref, pl.program_id(0), h, blk, l, drop)
+            pm = p * m
+        else:
+            pm = p
+        # dv[b,j,d] = sum_i pm[b,i,j] do[b,i,d]
         dv = jax.lax.dot_general(
-            p, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            pm, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         # dp[b,i,j] = sum_d do[b,i,d] v[b,j,d]
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
+        if drop is not None:
+            dp = dp * m
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         # dq[b,i,d] = scale * sum_j ds[b,i,j] k[b,j,d]
         dq = jax.lax.dot_general(
@@ -149,7 +217,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
         dbias_ref[h] += jnp.sum(ds, axis=0)
 
 
-def _backward_call(q, k, v, bias, mask, do, heads, interpret):
+def _backward_call(q, k, v, bias, mask, seed, do, heads, interpret, drop):
     bn, l, c = q.shape
     head_dim = c // heads
     scale = head_dim ** -0.5
@@ -159,7 +227,7 @@ def _backward_call(q, k, v, bias, mask, do, heads, interpret):
 
     dq, dk, dv, dbias = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale, heads=heads,
-                          head_dim=head_dim),
+                          head_dim=head_dim, drop=drop),
         grid=(n_blocks,),
         in_specs=[
             _qkv_spec(blk, l, c), _qkv_spec(blk, l, c), _qkv_spec(blk, l, c),
@@ -167,6 +235,7 @@ def _backward_call(q, k, v, bias, mask, do, heads, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((blk, l, l), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            _seed_spec(),
             _qkv_spec(blk, l, c),
         ],
         out_specs=[
@@ -181,45 +250,56 @@ def _backward_call(q, k, v, bias, mask, do, heads, interpret):
             jax.ShapeDtypeStruct((heads, l, l), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32), do)
+    )(q, k, v, bias.astype(jnp.float32), mask.astype(jnp.float32),
+      _seed_arr(seed), do)
     return dq[:bn], dk[:bn], dv[:bn], dbias
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _window_attention(q, k, v, bias, mask, heads, interpret):
-    return _forward_call(q, k, v, bias, mask, heads, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _window_attention(q, k, v, bias, mask, seed, heads, interpret, drop):
+    return _forward_call(q, k, v, bias, mask, seed, heads, interpret, drop)
 
 
-def _wa_fwd(q, k, v, bias, mask, heads, interpret):
-    out = _forward_call(q, k, v, bias, mask, heads, interpret)
-    return out, (q, k, v, bias, mask)
+def _wa_fwd(q, k, v, bias, mask, seed, heads, interpret, drop):
+    out = _forward_call(q, k, v, bias, mask, seed, heads, interpret, drop)
+    return out, (q, k, v, bias, mask, seed)
 
 
-def _wa_bwd(heads, interpret, res, do):
-    q, k, v, bias, mask = res
-    dq, dk, dv, dbias = _backward_call(q, k, v, bias, mask,
-                                       do.astype(q.dtype), heads, interpret)
+def _wa_bwd(heads, interpret, drop, res, do):
+    q, k, v, bias, mask, seed = res
+    dq, dk, dv, dbias = _backward_call(q, k, v, bias, mask, seed,
+                                       do.astype(q.dtype), heads, interpret,
+                                       drop)
     # The shifted-window mask is built from iota comparisons — a constant;
     # a zero cotangent is exact and skips an [Bn, L, L] HBM write.
-    return dq, dk, dv, dbias.astype(bias.dtype), jnp.zeros_like(mask)
+    dseed = None if seed is None else jnp.zeros_like(seed)
+    return dq, dk, dv, dbias.astype(bias.dtype), jnp.zeros_like(mask), dseed
 
 
 _window_attention.defvjp(_wa_fwd, _wa_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "interpret", "drop"))
 def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      bias: jnp.ndarray, mask: jnp.ndarray, heads: int,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False, drop: float | None = None,
+                     seed=None) -> jnp.ndarray:
     """Fused per-window attention (differentiable: custom VJP with a
     recompute-softmax Pallas backward).
 
     q/k/v: [Bn, L, C] window tokens (C = heads * head_dim)
     bias:  [heads, L, L] relative position bias
     mask:  [Bn, L, L] additive mask (pass zeros when not shifted)
+    drop/seed: in-kernel attention dropout — ``drop`` is the KEEP
+    probability (static), ``seed`` an f32 scalar holding a small int; the
+    [Bn, H, L, L] mask is regenerated from an integer hash inside both the
+    forward and backward kernels (zero HBM traffic; reference semantics:
+    nn.Dropout on the softmax probabilities, model/swinunet.py:171,237).
     Returns [Bn, L, C].
     """
-    return _window_attention(q, k, v, bias, mask, heads, interpret)
+    return _window_attention(q, k, v, bias, mask, seed, heads, interpret,
+                             drop)
 
 
 def window_attention_reference(q, k, v, bias, mask, heads):

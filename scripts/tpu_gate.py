@@ -36,6 +36,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_default_prng_impl", "rbg")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 # Every config whose train step reaches a Pallas kernel under jax.grad:
 # fused ConvBlock (+ in-kernel hash dropout) via every unet family model,

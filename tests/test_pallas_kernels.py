@@ -122,6 +122,61 @@ class TestWindowAttention:
                 np.asarray(leaf), np.asarray(flat_ref[path]),
                 rtol=5e-4, atol=5e-5, err_msg=str(path))
 
+    def _dropout_oracle(self, q, k, v, bias, mask, drop_mask, heads):
+        """jnp oracle of attention with a pre-scaled dropout mask applied to
+        the softmax probabilities (reference swinunet.py:171,237)."""
+        bn, l, c = q.shape
+        head_dim = c // heads
+        scale = head_dim ** -0.5
+        qh = q.reshape(bn, l, heads, head_dim).transpose(0, 2, 1, 3)
+        kh = k.reshape(bn, l, heads, head_dim).transpose(0, 2, 1, 3)
+        vh = v.reshape(bn, l, heads, head_dim).transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhld,bhmd->bhlm", qh * scale, kh)
+        s = s + bias[None] + mask[:, None]
+        p = jax.nn.softmax(s, axis=-1) * drop_mask
+        o = jnp.einsum("bhlm,bhmd->bhld", p, vh)
+        return o.transpose(0, 2, 1, 3).reshape(bn, l, c)
+
+    def test_in_kernel_attn_dropout_matches_oracle(self):
+        from hpfg_tpu.ops.pallas.window_attention import (
+            attn_drop_mask_reference)
+
+        q, k, v, bias, mask = self._data(bn=6, seed=6)
+        keep, seed = 0.9, 1234.0
+        dm = attn_drop_mask_reference(int(seed), 6, 2, 9, keep)
+        got = window_attention(q, k, v, bias, mask, heads=2, interpret=True,
+                               drop=keep, seed=jnp.float32(seed))
+        want = self._dropout_oracle(q, k, v, bias, mask, dm, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-4, atol=5e-5)
+        # the hash mask actually drops ~10% (pre-scaled 1/keep entries)
+        frac = float((np.asarray(dm) == 0).mean())
+        assert 0.03 < frac < 0.25
+
+    def test_in_kernel_attn_dropout_grad(self):
+        from hpfg_tpu.ops.pallas.window_attention import (
+            attn_drop_mask_reference)
+
+        q, k, v, bias, mask = self._data(bn=6, seed=7)
+        keep, seed = 0.8, 77.0
+        dm = attn_drop_mask_reference(int(seed), 6, 2, 9, keep)
+
+        def loss_pl(q, k, v, bias):
+            o = window_attention(q, k, v, bias, mask, heads=2,
+                                 interpret=True, drop=keep,
+                                 seed=jnp.float32(seed))
+            return jnp.sum(o ** 2)
+
+        def loss_ref(q, k, v, bias):
+            return jnp.sum(
+                self._dropout_oracle(q, k, v, bias, mask, dm, 2) ** 2)
+
+        got = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for g, w, name in zip(got, want, ("dq", "dk", "dv", "dbias")):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-3, atol=1e-4, err_msg=name)
+
     def test_swin_model_pallas_flag_matches_jnp(self):
         """SwinUNet with use_pallas (interpret via CPU default backend is
         skipped — flag off on CPU); here directly compare the attention
