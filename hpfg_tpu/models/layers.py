@@ -193,8 +193,16 @@ class ConvBlock(nn.Module):
         n2 = self.get_variable("params", "bn2")
         s1 = self.get_variable("batch_stats", "bn1")
         s2 = self.get_variable("batch_stats", "bn2")
+        w1 = p1["kernel"]
+        if x.shape[-1] == 1:
+            # stem: pad C 1->16 and take the packed conv1 path — an XLA
+            # stem conv is a batch-in-lanes layout anchor costing ~0.5 ms
+            # in transpose copies around the Pallas boundary (r3 profile);
+            # the 16x MAC padding waste is ~20 us of MXU time
+            x = cb.pad_channels(x, axis=3)
+            w1 = cb.pad_channels(w1, axis=2)
         params = cb.ConvBlockParams(
-            w1=p1["kernel"], b1=p1["bias"], scale1=n1["scale"],
+            w1=w1, b1=p1["bias"], scale1=n1["scale"],
             bias1=n1["bias"], w2=p2["kernel"], b2=p2["bias"],
             scale2=n2["scale"], bias2=n2["bias"])
 
@@ -256,6 +264,20 @@ class DownBlock(nn.Module):
                          name="conv")(x, train)
 
 
+def use_plain_fused(h: int, w: int, c: int, f: int) -> bool:
+    """Dispatch gate for the plain packed conv (stem/out_conv/1x1 sites):
+    mirrors ConvBlock._use_fused — forced flag first, else TPU + the
+    profitable large-spatial band (channel-padded support check)."""
+    from hpfg_tpu.ops.pallas.conv_block import plain_conv_supported, profitable
+
+    if not plain_conv_supported(h, w, c, f):
+        return False
+    if _FUSED_CONV is not None:
+        return _FUSED_CONV
+    return (jax.default_backend() == "tpu"
+            and profitable(h, w, max(16, c), max(16, f)))
+
+
 class UpBlock(nn.Module):
     """1x1 conv, bilinear x2 upsample (align_corners), skip concat, ConvBlock
     (reference UpBlock, model/unet.py:45-58)."""
@@ -267,8 +289,25 @@ class UpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = nn.Conv(self.skip_features, (1, 1), dtype=self.dtype,
-                    name="conv1x1")(x)
+        b, h, w, c = x.shape
+        f = self.skip_features
+        if not self.is_initializing() and use_plain_fused(h, w, c, f):
+            # packed 1x1 (zero-padded to the 3x3 kernel layout — only the
+            # center tap is nonzero, so SAME semantics are exact and the
+            # tap-gradient transpose slices the center back out): keeps the
+            # 112²-stage tensors in the custom-calls' row-major layout
+            # instead of anchoring batch-in-lanes via an XLA conv
+            from hpfg_tpu.ops.pallas import conv_block as cb
+
+            p = self.get_variable("params", "conv1x1")
+            w3 = jnp.zeros((3, 3, c, f), p["kernel"].dtype)
+            w3 = w3.at[1, 1].set(p["kernel"][0, 0])
+            x = cb.fused_conv3x3_plain(
+                x.astype(self.dtype), w3.astype(self.dtype), p["bias"],
+                jax.default_backend() != "tpu")
+        else:
+            x = nn.Conv(self.skip_features, (1, 1), dtype=self.dtype,
+                        name="conv1x1")(x)
         x = resize_bilinear_align_corners(x, (skip.shape[1], skip.shape[2]))
         x = jnp.concatenate([skip, x], axis=-1)
         return ConvBlock(self.features, self.dropout_p, self.dtype,

@@ -70,7 +70,31 @@ class UNetDecoder(nn.Module):
     def __call__(self, feature: list[jnp.ndarray], train: bool) -> jnp.ndarray:
         x = self.forward_feature(feature, train)
         # logits in float32 for numerically stable losses
-        return self.out_conv(x).astype(jnp.float32)
+        return self._head(x).astype(jnp.float32)
+
+    def _head(self, x: jnp.ndarray) -> jnp.ndarray:
+        """3x3 logits head. On TPU at the fused stages this dispatches to
+        the packed plain-conv kernel with F padded 4->16 (sliced back) —
+        an XLA head conv anchors batch-in-lanes layouts at 224² and costs
+        ~1 ms/step in transpose copies around the Pallas boundaries
+        (round-3 profile, BENCH_NOTES.md)."""
+        from hpfg_tpu.models.layers import use_plain_fused
+
+        b, h, w, c = x.shape
+        f = self.num_classes
+        if not self.is_initializing() and use_plain_fused(h, w, c, f):
+            import jax
+
+            from hpfg_tpu.ops.pallas import conv_block as cb
+
+            p = self.get_variable("params", "out_conv")
+            wpad = cb.pad_channels(p["kernel"], axis=3)
+            bpad = cb.pad_channels(p["bias"], axis=0)
+            y = cb.fused_conv3x3_plain(x.astype(self.dtype),
+                                       wpad.astype(self.dtype), bpad,
+                                       jax.default_backend() != "tpu")
+            return y[..., :f]
+        return self.out_conv(x)
 
 
 class UNet(nn.Module):

@@ -900,6 +900,87 @@ fused_conv_block.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# plain packed conv (no BN/act) — stem, out_conv, 1x1-as-3x3 dispatch
+#
+# Round-3 profile finding (BENCH_NOTES.md): XLA's OWN convolutions at the
+# large-spatial stages (stem 1->16, out_conv 16->4, UpBlock 1x1) choose
+# batch-in-lanes layouts ({0,3,2,1}) because C<128 wastes the lane axis —
+# and every Pallas custom-call boundary then pays a 0.3-0.5 ms transpose
+# copy of a [32,224,3584]-class tensor (8.8 ms/step of copies total).
+# Running these few remaining convs through the packed kernels removes the
+# batch-minor layout anchors so row-major propagates end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def plain_conv_supported(h: int, w: int, c: int, f: int) -> bool:
+    """Dispatchable via channel padding: C pads up to 16 (stem), F pads up
+    to 16 (small heads); beyond that the block kernel rules apply."""
+    c_eff = c if c % 16 == 0 else 16 * ((c + 15) // 16)
+    f_eff = f if f % 16 == 0 else 16 * ((f + 15) // 16)
+    return supported(h, w, c_eff, f_eff)
+
+
+def _plain_fwd_packed(x, w, bvec, interpret):
+    b, hh, wimg, c = x.shape
+    f = w.shape[-1]
+    dtype = x.dtype
+    pix = choose_pix(wimg, c, f)
+    wbig = expand_weights(w.astype(dtype), pix)
+    h2, _ = _conv_stats(_pack(x), wbig, jnp.tile(bvec.astype(jnp.float32),
+                                                 wimg),
+                        c=c, f=f, h=hh, w=wimg, pix=pix, want_stats=False,
+                        dtype=dtype, interpret=interpret)
+    return _unpack(h2, wimg, f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_conv3x3_plain(x, w, b, interpret: bool = False):
+    """SAME-padded 3x3 conv + bias on NHWC via the packed-lane kernels
+    (jnp/XLA semantics identical to ``_conv3x3(x, w) + b``). Caller pads
+    C/F to multiples of 16 (grads flow through jnp.pad's slice transpose).
+    """
+    return _plain_fwd_packed(x, w, b, interpret)
+
+
+def _plain_fwd(x, w, b, interpret):
+    return _plain_fwd_packed(x, w, b, interpret), (x, w)
+
+
+def _plain_bwd(interpret, res, dy):
+    x, w = res
+    b, hh, wimg, cin = x.shape
+    f = w.shape[-1]
+    dtype = x.dtype
+    dy2 = _pack(dy).astype(dtype)
+
+    pix1 = choose_pix(wimg, cin, f)
+    wflip = expand_weights(
+        jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype), pix1)
+    dx2 = _dgrad(dy2, wflip, None, c=cin, f=f, w=wimg, h=hh, pix=pix1,
+                 dtype=dtype, interpret=interpret)
+    dx = _unpack(dx2, wimg, cin)
+    dw = _wgrad(_pack(x).astype(dtype), dy2, "identity", None, None,
+                c=cin, f=f, w=wimg, h=hh, pix=pix1, interpret=interpret)
+    db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 2))
+    return dx.astype(x.dtype), dw.astype(w.dtype), db
+
+
+fused_conv3x3_plain.defvjp(_plain_fwd, _plain_bwd)
+
+
+def pad_channels(arr, axis: int, mult: int = 16):
+    """Zero-pad ``axis`` up to a multiple of ``mult`` (jnp.pad: the VJP is
+    the matching slice, so padded-dispatch gradients stay exact)."""
+    size = arr.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(arr, widths)
+
+
+# ---------------------------------------------------------------------------
 # pure-jnp reference (tests + documentation of exact semantics)
 # ---------------------------------------------------------------------------
 

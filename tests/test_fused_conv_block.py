@@ -149,6 +149,114 @@ def test_convblock_module_fused_equals_flax():
                                    atol=1e-3, rtol=1e-3)
 
 
+class TestPlainConv:
+    """fused_conv3x3_plain (packed plain conv for stem/out_conv/1x1 sites)
+    against the jnp conv oracle, forward and VJP."""
+
+    def _data(self, c, f, hw=16, b=2, seed=3):
+        g = np.random.default_rng(seed)
+        x = jnp.asarray(g.normal(size=(b, hw, hw, c)), jnp.float32)
+        w = jnp.asarray(g.normal(size=(3, 3, c, f)) * 0.2, jnp.float32)
+        bias = jnp.asarray(g.normal(size=(f,)) * 0.1, jnp.float32)
+        return x, w, bias
+
+    @pytest.mark.parametrize("c,f", [(16, 16), (32, 16), (16, 32)])
+    def test_forward_and_grad_match_oracle(self, c, f):
+        from hpfg_tpu.ops.pallas.conv_block import (_conv3x3,
+                                                    fused_conv3x3_plain)
+
+        x, w, bias = self._data(c, f)
+
+        def loss_pl(x, w, bias):
+            return jnp.sum(fused_conv3x3_plain(x, w, bias, True) ** 2)
+
+        def loss_ref(x, w, bias):
+            return jnp.sum((_conv3x3(x, w) + bias) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(fused_conv3x3_plain(x, w, bias, True)),
+            np.asarray(_conv3x3(x, w) + bias), atol=1e-3)
+        got = jax.grad(loss_pl, argnums=(0, 1, 2))(x, w, bias)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, bias)
+        for a, b_, name in zip(got, want, ("dx", "dw", "db")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-3, rtol=1e-3, err_msg=name)
+
+    def test_upblock_1x1_dispatch_equals_flax(self):
+        """UpBlock with the packed 1x1-as-3x3 dispatch forced on matches
+        the plain module path (fwd + grads)."""
+        g = np.random.default_rng(4)
+        x = jnp.asarray(g.normal(size=(2, 16, 16, 32)), jnp.float32)
+        skip = jnp.asarray(g.normal(size=(2, 32, 32, 16)), jnp.float32)
+        block = layers.UpBlock(skip_features=16, features=16,
+                               dtype=jnp.float32)
+        variables = block.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)},
+                               x, skip, train=True)
+
+        def out(params, fused):
+            layers.set_fused_conv(fused)
+            try:
+                y, _ = block.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]}, x, skip,
+                    train=True, rngs={"dropout": jax.random.PRNGKey(2)},
+                    mutable=["batch_stats"])
+                return y
+            finally:
+                layers.set_fused_conv(None)
+
+        y0 = out(variables["params"], False)
+        y1 = out(variables["params"], True)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-3)
+        g0 = jax.grad(lambda p: jnp.sum(out(p, False) ** 2))(
+            variables["params"])
+        g1 = jax.grad(lambda p: jnp.sum(out(p, True) ** 2))(
+            variables["params"])
+        ref = dict(jax.tree_util.tree_leaves_with_path(g0))
+        for path, b in jax.tree_util.tree_leaves_with_path(g1):
+            keys = [getattr(k, "key", "") for k in path]
+            if keys[-1] == "bias" and keys[-2] in ("conv1", "conv2"):
+                # conv biases feed BN: d(bias) is EXACTLY zero in train
+                # mode; the fused VJP returns that zero while flax autodiff
+                # leaves ~1e-6-relative cancellation noise — don't compare
+                np.testing.assert_allclose(np.asarray(b), 0.0, atol=1e-6)
+                continue
+            want = np.asarray(ref[path])
+            # atol scaled to the leaf's magnitude: accumulation-order noise
+            # in the packed kernels is relative to the largest grads, and a
+            # leaf spanning |g|~50 legitimately differs by ~3e-3 absolute
+            # on its near-zero elements
+            np.testing.assert_allclose(
+                np.asarray(b), want, rtol=2e-3,
+                atol=2e-4 * max(1.0, float(np.abs(want).max())),
+                err_msg=str(path))
+
+    def test_unet_head_dispatch_equals_flax(self):
+        """Full UNet forward with every dispatch (stem pad, 1x1, head
+        F-pad) forced on matches the flax path."""
+        from hpfg_tpu.models.unet import UNet
+
+        g = np.random.default_rng(5)
+        x = jnp.asarray(g.normal(size=(2, 32, 32, 1)), jnp.float32)
+        model = UNet(in_channels=1, num_classes=4,
+                     feature_chns=(16, 16, 32, 32, 64),
+                     dropout=(0.0,) * 5, dtype=jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)}, x,
+                               train=False)
+
+        def out(fused):
+            layers.set_fused_conv(fused)
+            try:
+                return model.apply(variables, x, train=False)
+            finally:
+                layers.set_fused_conv(None)
+
+        np.testing.assert_allclose(np.asarray(out(True)),
+                                   np.asarray(out(False)), atol=3e-3)
+
+
 class TestHashDropout:
     """In-kernel hash dropout == reference path fed the oracle mask
     (hash_mask_reference reproduces the kernels' per-(image,row,lane)
