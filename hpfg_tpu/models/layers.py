@@ -234,18 +234,27 @@ class ConvBlock(nn.Module):
         return y.astype(self.dtype)
 
 
+_POOL_IMPL = _os.environ.get("HPFG_POOL", "pairwise")
+
+
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2/stride-2 max pool via reshape+max (identical to
-    nn.max_pool((2,2),(2,2)) for even H/W).
+    """2x2/stride-2 max pool (identical to nn.max_pool((2,2),(2,2)) for
+    even H/W).
 
     TPU rationale: reduce_window lowers to a standalone op whose backward is
-    a SelectAndScatter (profiled at 1.2 + 1.0 ms per 224²x16 pool on v5e);
-    reshape+max fuses into neighbors and its autodiff backward is an
-    elementwise compare+select. Ties distribute gradient evenly instead of
-    picking one element — measure-zero for continuous activations."""
+    a SelectAndScatter (profiled at 1.2 + 1.0 ms per 224²x16 pool on v5e).
+    The default 'pairwise' form is two stride-2 jnp.maximum's: its autodiff
+    backward is elementwise selects + interleaves that fuse with neighbors —
+    the round-3 trace showed the 6-D reshape+max form costing ~4.5 ms/step
+    in layout copies (eq-against-rebroadcast backward at 224²/112² stages).
+    Ties distribute gradient evenly instead of picking one element —
+    measure-zero for continuous activations."""
     b, h, w, c = x.shape
     if h % 2 or w % 2:
         return nn.max_pool(x, (2, 2), strides=(2, 2))
+    if _POOL_IMPL == "pairwise":
+        r = jnp.maximum(x[:, 0::2], x[:, 1::2])
+        return jnp.maximum(r[:, :, 0::2], r[:, :, 1::2])
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return jnp.max(x, axis=(2, 4))
 
