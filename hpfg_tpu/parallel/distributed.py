@@ -98,3 +98,27 @@ def sync_global_devices(tag: str = "barrier") -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(tag)
+
+
+def coordination_barrier(tag: str = "barrier",
+                         timeout_s: float = 1200.0) -> None:
+    """Barrier over the COORDINATION SERVICE (not device collectives).
+
+    ``sync_global_devices`` runs a device all-reduce, and the very first
+    collective also creates the backend communicator context — whose
+    internal key-value handshake has a short (~30 s) timeout. When
+    per-process XLA compile times are long and skewed (e.g. many processes
+    contending for few host cores), the first process to reach the
+    collective can time out waiting for the stragglers. This barrier rides
+    the coordination service RPC channel instead, accepts an explicit
+    timeout, and compiles nothing — call it immediately before the first
+    collective/compile so every process enters within milliseconds of each
+    other and the communicator handshake only sees compile-time skew.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    client.wait_at_barrier(tag, timeout_in_ms=int(timeout_s * 1000),
+                           process_ids=None)

@@ -54,6 +54,19 @@ mesh = make_mesh()  # all global devices
 with mesh:
     batch = global_batch_from_local(mesh, local)
     step = jax.jit(algo.step, donate_argnums=(0,))
+    if nproc > 1:
+        # Align the processes BEFORE the first collective: under full-suite
+        # load on a small host the workers' startup/compile phases serialize,
+        # and the first process to execute a collective times out (~30 s)
+        # in the Gloo context handshake waiting for the straggler (r2 flake).
+        # The coordination-service barrier (long timeout, no compile) closes
+        # the startup skew; the tiny sync_global_devices all-reduce then
+        # creates the Gloo context while the skew is milliseconds, so the
+        # real step below reuses an already-established context.
+        from hpfg_tpu.parallel.distributed import (coordination_barrier,
+                                                   sync_global_devices)
+        coordination_barrier("mh_warmup", timeout_s=1800.0)
+        sync_global_devices("mh_gloo_warmup")
     state, metrics = step(state, batch)
     loss = float(np.asarray(metrics["loss"]))
 

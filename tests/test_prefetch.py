@@ -51,12 +51,16 @@ class TestDevicePrefetcher:
 
         batch = {"image": np.linspace(-2, 2, 32, dtype=np.float32),
                  "label": np.array([0, 3, 255], np.int32),
-                 "big_label": np.array([0, 70000], np.int64),
+                 "index": np.array([0, 70000], np.int64),
                  "half": np.ones(4, np.float16)}
         wire = compress_wire(batch)
         assert wire["image"].dtype == np.float16
-        assert wire["label"].dtype == np.uint8        # 255 ignore fits
-        assert wire["big_label"].dtype == np.int64    # out of range: kept
+        assert wire["label"].dtype == np.uint8      # 255 ignore fits
+        # int compression is keyed STATICALLY by name (ADVICE r2): a
+        # non-label int field keeps its dtype regardless of its values —
+        # value-dependent wire dtypes would flip across batches and silently
+        # retrigger the donated step's multi-minute recompile
+        assert wire["index"].dtype == np.int64
         restored = restore_wire_dtypes(
             {k: jnp.asarray(v) for k, v in wire.items()})
         assert restored["image"].dtype == jnp.float32
@@ -65,6 +69,12 @@ class TestDevicePrefetcher:
                                       batch["label"])
         np.testing.assert_allclose(np.asarray(restored["image"]),
                                    batch["image"], atol=2e-3)
+
+    def test_wire_compression_rejects_out_of_range_labels(self):
+        from hpfg_tpu.data.prefetch import compress_wire
+
+        with pytest.raises(ValueError, match="outside"):
+            compress_wire({"big_label": np.array([0, 70000], np.int64)})
 
     def test_prefetcher_compresses_by_default(self):
         pf = DevicePrefetcher(_batches(1), get_mesh(), depth=2)

