@@ -54,20 +54,17 @@ mesh = make_mesh()  # all global devices
 with mesh:
     batch = global_batch_from_local(mesh, local)
     step = jax.jit(algo.step, donate_argnums=(0,))
+    # AOT-compile BEFORE the barrier: the Gloo context handshake at first
+    # execution has a hard ~30 s key-value deadline, and on a loaded 1-core
+    # host the two workers' multi-minute XLA compiles skew by more than
+    # that. Compilation needs no peer, so finish it first, align at the
+    # coordination-service barrier (long timeout, no compile), and only
+    # then execute — the handshake sees millisecond skew.
+    compiled = step.lower(state, batch).compile()
     if nproc > 1:
-        # Align the processes BEFORE the first collective: under full-suite
-        # load on a small host the workers' startup/compile phases serialize,
-        # and the first process to execute a collective times out (~30 s)
-        # in the Gloo context handshake waiting for the straggler (r2 flake).
-        # The coordination-service barrier (long timeout, no compile) closes
-        # the startup skew; the tiny sync_global_devices all-reduce then
-        # creates the Gloo context while the skew is milliseconds, so the
-        # real step below reuses an already-established context.
-        from hpfg_tpu.parallel.distributed import (coordination_barrier,
-                                                   sync_global_devices)
-        coordination_barrier("mh_warmup", timeout_s=1800.0)
-        sync_global_devices("mh_gloo_warmup")
-    state, metrics = step(state, batch)
+        from hpfg_tpu.parallel.distributed import coordination_barrier
+        coordination_barrier("mh_post_compile", timeout_s=1800.0)
+    state, metrics = compiled(state, batch)
     loss = float(np.asarray(metrics["loss"]))
 
 if is_main_process():
