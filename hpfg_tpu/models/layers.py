@@ -127,6 +127,10 @@ _FUSED_CONV: bool | None = (
     None if _os.environ.get("HPFG_FUSED_CONV", "auto") == "auto"
     else _os.environ.get("HPFG_FUSED_CONV") == "1")
 
+# Dual-input (UpBlock concat-fold) dispatch in auto mode; see
+# ConvBlock._use_fused_pair. Default off until TPU-gate + bench validated.
+_FUSED_PAIR: bool = _os.environ.get("HPFG_FUSED_PAIR", "0") == "1"
+
 
 def set_fused_conv(enabled: bool | None) -> None:
     """Force (True/False) or restore auto (None) fused ConvBlock dispatch."""
@@ -150,7 +154,16 @@ class ConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x, train: bool) -> jnp.ndarray:
+        # x may be a PAIR (skip, up) from UpBlock: the fused path folds the
+        # channel concat into the dual-im2col conv1 kernel so the
+        # [B,H,W,Ca+Cb] interleave (and its layout copies at the Pallas
+        # boundary) never materializes. Everywhere else the pair degrades
+        # to an explicit concat.
+        if isinstance(x, tuple):
+            if self._use_fused_pair(x):
+                return self._fused(x, train)
+            x = jnp.concatenate(x, axis=-1)
         if self._use_fused(x):
             return self._fused(x, train)
         x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
@@ -183,18 +196,43 @@ class ConvBlock(nn.Module):
                 and profitable(x.shape[1], x.shape[2], x.shape[3],
                                self.features))
 
-    def _fused(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def _use_fused_pair(self, pair) -> bool:
+        if self.is_initializing():
+            return False
+        from hpfg_tpu.ops.pallas.conv_block import profitable, supported_cat
+
+        xa, xb = pair
+        if (xa.ndim != 4 or xb.ndim != 4
+                or xa.shape[:3] != xb.shape[:3]):
+            return False
+        _, h, w, ca = xa.shape
+        cb_ = xb.shape[-1]
+        if not supported_cat(h, w, ca, cb_, self.features):
+            return False
+        if _FUSED_CONV is not None:
+            return _FUSED_CONV
+        # auto additionally requires HPFG_FUSED_PAIR=1 until the dual-input
+        # kernels have a green TPU gate + bench (Mosaic lowering is invisible
+        # to the CPU interpret suite — see CLAUDE.md TPU COMPILE GATE)
+        return (_FUSED_PAIR
+                and jax.default_backend() == "tpu"
+                and profitable(h, w, ca + cb_, self.features))
+
+    def _fused(self, x, train: bool) -> jnp.ndarray:
         from hpfg_tpu.ops.pallas import conv_block as cb
 
-        x = x.astype(self.dtype)
         p1 = self.get_variable("params", "conv1")
         p2 = self.get_variable("params", "conv2")
         n1 = self.get_variable("params", "bn1")
         n2 = self.get_variable("params", "bn2")
+        w1 = p1["kernel"]
+        if isinstance(x, tuple):
+            x = tuple(t.astype(self.dtype) for t in x)
+        else:
+            x = x.astype(self.dtype)
         s1 = self.get_variable("batch_stats", "bn1")
         s2 = self.get_variable("batch_stats", "bn2")
-        w1 = p1["kernel"]
-        if x.shape[-1] == 1:
+        if not isinstance(x, tuple) and x.shape[-1] == 1:
             # stem: pad C 1->16 and take the packed conv1 path — an XLA
             # stem conv is a batch-in-lanes layout anchor costing ~0.5 ms
             # in transpose copies around the Pallas boundary (r3 profile);
@@ -318,9 +356,11 @@ class UpBlock(nn.Module):
             x = nn.Conv(self.skip_features, (1, 1), dtype=self.dtype,
                         name="conv1x1")(x)
         x = resize_bilinear_align_corners(x, (skip.shape[1], skip.shape[2]))
-        x = jnp.concatenate([skip, x], axis=-1)
+        # pass the halves as a pair: the fused ConvBlock folds the channel
+        # concat into its dual-im2col conv1 (falls back to an explicit
+        # concatenate off the fused path)
         return ConvBlock(self.features, self.dropout_p, self.dtype,
-                         name="conv")(x, train)
+                         name="conv")((skip, x), train)
 
 
 class ProjectionNeck(nn.Module):

@@ -73,6 +73,15 @@ def choose_pix(w: int, c: int, f: int) -> int | None:
         return None
     return pix
 
+
+def choose_pix_cat(w: int, ca: int, cb: int, f: int) -> int | None:
+    """Group size for the DUAL-INPUT conv (UpBlock concat fold): one pix
+    must satisfy the lane alignment of both input halves and the output."""
+    pix = max(_min_pix(ca), _min_pix(cb), _min_pix(f), 2)
+    if pix > 8 or w % pix != 0:
+        return None
+    return pix
+
 # Mosaic's default scoped-vmem limit is a conservative 16M; the wide dgrad
 # blocks (e.g. [224, 224*32] outputs) need more headroom for double-buffered
 # block windows + im2col temporaries.
@@ -99,6 +108,19 @@ def supported(h: int, w: int, c: int, f: int) -> bool:
         return False
     c_eff = 16 if c == 1 else c
     return (choose_pix(w, c_eff, f) is not None
+            and choose_pix(w, f, f) is not None)
+
+
+def supported_cat(h: int, w: int, ca: int, cb: int, f: int) -> bool:
+    """Shapes the dual-input (concat-folded) block handles: each half must
+    be lane-aligned on its own (the kernel packs two im2cols side by side,
+    never materializing the channel interleave)."""
+    if f % 16 != 0 or f > 128:
+        return False
+    for ci in (ca, cb):
+        if ci % 16 != 0 or ci > 128:
+            return False
+    return (choose_pix_cat(w, ca, cb, f) is not None
             and choose_pix(w, f, f) is not None)
 
 
@@ -165,6 +187,17 @@ def expand_weights(w: jax.Array, pix: int) -> jax.Array:
     wr = w.reshape(3, 3 * c, f)            # [dy, dx*c+ci, f]
     out = jnp.einsum("kx,yxf->ykf", t, wr)  # [3, kdy*pix, f]
     return out.reshape(3, kdy, pix, f).reshape(3 * kdy, pix * f)
+
+
+def expand_weights_cat(wa: jax.Array, wb: jax.Array, pix: int) -> jax.Array:
+    """Stack the expanded halves of a concat conv's weight per dy slab so
+    the dual-input im2col columns [lw_a | rw_a | lw_b | rw_b] hit their
+    taps: rows [3*(pix+2)*(Ca+Cb), pix*F]."""
+    ea, eb = expand_weights(wa, pix), expand_weights(wb, pix)
+    ka, kb = ea.shape[0] // 3, eb.shape[0] // 3
+    pf = ea.shape[1]
+    return jnp.concatenate([ea.reshape(3, ka, pf), eb.reshape(3, kb, pf)],
+                           axis=1).reshape(3 * (ka + kb), pf)
 
 
 # ---------------------------------------------------------------------------
@@ -271,7 +304,7 @@ def _im2col_dy_windows(left, right, dy, th, c, w, pix):
 
 
 def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h, pix,
-               transform, dtype, post=None):
+               transform, dtype, post=None, x2_ref=None, c2=0):
     """Chunked packed-row 3x3 SAME conv over one image.
 
     Reads x_ref[0] ([H, W*C]) in _row_chunk-row chunks (+-1 halo rows via
@@ -280,17 +313,30 @@ def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h, pix,
     weights and writes out_ref[0] rows. ``post(o, lo, hi)`` post-processes
     output rows (e.g. the dropout-mask multiply of a dgrad). Returns
     accumulated per-lane [sum, sum^2] when ``sums`` is not None.
+
+    ``x2_ref``/``c2``: optional SECOND input (UpBlock concat fold) — its
+    im2col slabs sit next to the first input's in the K axis, against
+    weights stacked by expand_weights_cat. conv(concat(a, b)) = the one
+    matmul over both slabs; the [B,H,W,Ca+Cb] interleave never exists.
     """
-    th = _row_chunk(h, w * max(c, f))
-    kdy = (pix + 2) * c
+    th = _row_chunk(h, w * max(c + c2, f))
+    kdy = (pix + 2) * (c + c2)
     mm = x_ref.dtype if x_ref.dtype != jnp.float32 else jnp.float32
     for y0 in range(0, h, th):
         ext = _padded_rows(x_ref, y0, th, h, transform)  # fp32 (rolls)
         left, right = _rolled_pair(ext, c, w, pix)  # ONE roll pair per chunk
+        if x2_ref is not None:
+            ext2 = _padded_rows(x2_ref, y0, th, h, lambda r, lo, hi: r)
+            left2, right2 = _rolled_pair(ext2, c2, w, pix)
         o = None
         for i, dy in enumerate((-1, 0, 1)):
             lw, rw = _im2col_dy_windows(left, right, dy, th, c, w, pix)
-            a = jnp.concatenate([lw, rw], axis=1).astype(mm)
+            parts = [lw, rw]
+            if x2_ref is not None:
+                lw2, rw2 = _im2col_dy_windows(left2, right2, dy, th, c2, w,
+                                              pix)
+                parts += [lw2, rw2]
+            a = jnp.concatenate(parts, axis=1).astype(mm)
             part = jax.lax.dot_general(
                 a, wbig_ref[i * kdy:(i + 1) * kdy],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -350,6 +396,19 @@ def _conv_stats_kernel(x_ref, wbig_ref, bvec_ref, h_ref, sums_ref, *,
     local = _conv_rows(x_ref, wbig_ref, bvec_ref, h_ref, local,
                        c=c, f=f, w=w, h=h, pix=pix,
                        transform=lambda r, lo, hi: r, dtype=dtype)
+    _flush_stats(sums_ref, local)
+
+
+def _conv_stats_cat_kernel(x_ref, xb_ref, wbig_ref, bvec_ref, h_ref,
+                           sums_ref, *, c, cb, f, w, h, pix, want_stats,
+                           dtype):
+    """Dual-input conv3x3 + bias (+ stats): conv over an implicit channel
+    concat of the two packed inputs (UpBlock skip-concat fold)."""
+    local = _new_local(want_stats, w * f)
+    local = _conv_rows(x_ref, wbig_ref, bvec_ref, h_ref, local,
+                       c=c, f=f, w=w, h=h, pix=pix,
+                       transform=lambda r, lo, hi: r, dtype=dtype,
+                       x2_ref=xb_ref, c2=cb)
     _flush_stats(sums_ref, local)
 
 
@@ -417,6 +476,29 @@ def _conv_stats(x2, wbig, bvec, *, c, f, h, w, pix, want_stats,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(x2, wbig, bvec.reshape(1, lf))
+    return out, sums
+
+
+def _conv_stats_cat(xa2, xb2, wbig, bvec, *, ca, cb, f, h, w, pix,
+                    want_stats, dtype, interpret=False):
+    b = xa2.shape[0]
+    lf = w * f
+    kernel = functools.partial(_conv_stats_cat_kernel, c=ca, cb=cb, f=f, w=w,
+                               h=h, pix=pix, want_stats=want_stats,
+                               dtype=dtype)
+    wspec = pl.BlockSpec(wbig.shape, lambda b: (0,) * wbig.ndim,
+                         memory_space=pltpu.VMEM)
+    out, sums = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[_row_spec(h, xa2.shape[-1]), _row_spec(h, xb2.shape[-1]),
+                  wspec, _vec_spec(lf)],
+        out_specs=[_row_spec(h, lf), _sums_spec(lf)],
+        out_shape=[jax.ShapeDtypeStruct((b, h, lf), dtype),
+                   jax.ShapeDtypeStruct((2, lf), jnp.float32)],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(xa2, xb2, wbig, bvec.reshape(1, lf))
     return out, sums
 
 
@@ -526,7 +608,50 @@ def _forward(x, params: ConvBlockParams, mask, run_stats, train: bool,
     """Returns (y, h2, g2, batch_stats) — h2/g2 are the PACKED pre-BN conv
     outputs kept as custom-vjp residuals. In eval mode batch_stats echoes
     ``run_stats``. ``drop``/``seed``: in-kernel hash dropout (keep prob +
-    f32 seed scalar) as the zero-HBM alternative to an explicit ``mask``."""
+    f32 seed scalar) as the zero-HBM alternative to an explicit ``mask``.
+    ``x`` may be a PAIR of NHWC arrays (UpBlock skip-concat fold): conv1
+    then runs as one dual-im2col matmul and the concat never materializes."""
+    if isinstance(x, (tuple, list)):
+        xa, xb = x
+        b, h, w, ca = xa.shape
+        cb = xb.shape[-1]
+        f = params.w1.shape[-1]
+        dtype = xa.dtype
+        n = b * h * w
+
+        pix2 = choose_pix(w, f, f)
+        w2 = expand_weights(params.w2.astype(dtype), pix2)
+        b2vec = jnp.tile(params.b2.astype(jnp.float32), w)
+
+        pix1 = choose_pix_cat(w, ca, cb, f)
+        w1 = expand_weights_cat(params.w1[:, :, :ca].astype(dtype),
+                                params.w1[:, :, ca:].astype(dtype), pix1)
+        b1vec = jnp.tile(params.b1.astype(jnp.float32), w)
+        h2, sums1 = _conv_stats_cat(_pack(xa), _pack(xb), w1, b1vec, ca=ca,
+                                    cb=cb, f=f, h=h, w=w, pix=pix1,
+                                    want_stats=train, dtype=dtype,
+                                    interpret=interpret)
+        if train:
+            mean1, var1 = _finalize_stats(sums1, n, f)
+        else:
+            mean1, var1 = run_stats.mean1, run_stats.var1
+        a1, aff_b1 = _affine(params.scale1, params.bias1, mean1, var1, w)
+
+        g2, sums2 = _bn_act_conv_stats(h2, a1, aff_b1, mask, w2, b2vec, c=f,
+                                       f=f, h=h, w=w, pix=pix2,
+                                       want_stats=train, dtype=dtype,
+                                       drop=drop, seed=seed,
+                                       interpret=interpret)
+        if train:
+            mean2, var2 = _finalize_stats(sums2, n, f)
+        else:
+            mean2, var2 = run_stats.mean2, run_stats.var2
+        a2, aff_b2 = _affine(params.scale2, params.bias2, mean2, var2, w)
+        y2 = _bn_act_apply(g2, a2, aff_b2, h=h, w=w, f=f, dtype=dtype,
+                           interpret=interpret)
+        stats = FusedStats(mean1, var1, mean2, var2)
+        return _unpack(y2, w, f), h2, g2, stats
+
     b, h, w, c = x.shape
     f = params.w1.shape[-1]
     dtype = x.dtype
@@ -825,7 +950,8 @@ def _bwd(train, interpret, drop, res, cts):
     if not train:
         raise NotImplementedError("fused_conv_block backward: train only")
 
-    b, hh, w, cin = x.shape
+    is_pair = isinstance(x, (tuple, list))
+    b, hh, w, cin = x[0].shape if is_pair else x.shape
     f = params.w1.shape[-1]
     n = b * hh * w
     dtype = h2.dtype
@@ -858,7 +984,30 @@ def _bwd(train, interpret, drop, res, cts):
     dh2 = _dpre(dd2, h2, (a1l, b1l, m1l, inv1l, tile(s1[0] / n),
                           tile(s1[1] / n)), dtype=dtype, **kw)
 
-    if cin == 1:
+    if is_pair:
+        # dual-input conv1 (UpBlock concat fold): d_skip/d_up are separate
+        # packed dgrads with each half's flip-transposed weights; wgrad per
+        # half, re-joined on the C axis. Each cotangent lands row-major for
+        # its own consumer (the encoder block's bwd / the resize bwd) —
+        # no [B,H,W,Ca+Cb] split, no layout copies.
+        xa, xb = x
+        ca = xa.shape[-1]
+        dxs, dws = [], []
+        for xi, wi in ((xa, params.w1[:, :, :ca]), (xb, params.w1[:, :, ca:])):
+            ci = xi.shape[-1]
+            pixi = choose_pix(w, ci, f)
+            wflip = expand_weights(
+                jnp.flip(wi, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype),
+                pixi)
+            dxi2 = _dgrad(dh2, wflip, None, c=ci, f=f, w=w, h=hh, pix=pixi,
+                          dtype=dtype, interpret=interpret)
+            dxs.append(_unpack(dxi2, w, ci).astype(xi.dtype))
+            dws.append(_wgrad(_pack(xi).astype(dtype), dh2, "identity", None,
+                              None, c=ci, f=f, w=w, h=hh, pix=pixi,
+                              interpret=interpret))
+        dx = tuple(dxs)
+        dw1 = jnp.concatenate(dws, axis=2)
+    elif cin == 1:
         # stem: conv1 ran through XLA in _forward — take its transpose the
         # same way (C=1 dgrad/wgrad are cheap XLA convs; the packed kernels
         # would again pay the 16x channel padding)
@@ -893,7 +1042,9 @@ def _bwd(train, interpret, drop, res, cts):
         bias2=dbias2.astype(params.bias2.dtype))
     dmask = None if mask2 is None else jnp.zeros_like(mask2)
     dseed = None if seed is None else jnp.zeros_like(seed)
-    return dx.astype(x.dtype), dparams, dmask, dseed, None
+    if not is_pair:
+        dx = dx.astype(x.dtype)
+    return dx, dparams, dmask, dseed, None
 
 
 fused_conv_block.defvjp(_fwd, _bwd)

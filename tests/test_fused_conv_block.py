@@ -81,6 +81,67 @@ def test_fused_custom_vjp_matches_autodiff(c, f, with_mask):
         assert np.max(np.abs(a - b)) < 1e-4 * gscale + 1e-6, name
 
 
+def _dual_data(ca, cb, f, seed):
+    """Local per-test rng: (a) keeps the module-level rng_np stream of the
+    OLDER tests unchanged, (b) pins data whose pre-activations stay clear
+    of the LeakyReLU kink — an element with |z| below the ~1e-5 kernel
+    noise flips branches between the fused and reference BACKWARD and
+    produces O(0.1) pointwise grad differences that are not a bug."""
+    g = np.random.default_rng(seed)
+    j = lambda *s: jnp.asarray(g.normal(size=s) * 0.2, jnp.float32)
+    params = ConvBlockParams(
+        w1=j(3, 3, ca + cb, f), b1=j(f), scale1=1.0 + 0.1 * j(f),
+        bias1=0.1 * j(f), w2=j(3, 3, f, f), b2=j(f),
+        scale2=1.0 + 0.1 * j(f), bias2=0.1 * j(f))
+    xa = jnp.asarray(g.normal(size=(2, 16, 16, ca)), jnp.float32)
+    xb = jnp.asarray(g.normal(size=(2, 16, 16, cb)), jnp.float32)
+    mask = jnp.asarray((g.random((2, 16, 16, f)) > 0.3) / 0.7, jnp.float32)
+    dy = jnp.asarray(g.normal(size=(2, 16, 16, f)), jnp.float32)
+    return params, xa, xb, mask, dy
+
+
+@pytest.mark.parametrize("ca,cb,f", [(16, 16, 16), (32, 16, 16),
+                                     (32, 32, 32)])
+def test_dual_input_forward_matches_concat_reference(ca, cb, f):
+    """conv1(concat(a, b)) == the dual-im2col kernel fed (a, b) — the
+    UpBlock skip-concat fold (the interleave never materializes)."""
+    params, xa, xb, _, _ = _dual_data(ca, cb, f, seed=ca * 100 + f)
+    xcat = jnp.concatenate([xa, xb], axis=-1)
+    y_ref, st_ref = conv_block_reference(xcat, params, None, True, None)
+    y, _, _, st = _forward((xa, xb), params, None, None, True, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-3)
+    for a, b in zip(st, st_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+@pytest.mark.parametrize("ca,cb,f,with_mask", [(16, 16, 16, True),
+                                               (32, 32, 32, False)])
+def test_dual_input_vjp_matches_autodiff(ca, cb, f, with_mask):
+    params, xa, xb, mask, dy = _dual_data(ca, cb, f, seed=ca * 10 + f)
+    if not with_mask:
+        mask = None
+    pm = None if mask is None else mask.reshape(2, 16, -1)
+
+    ga_r, gb_r, gp_r = jax.grad(
+        lambda a, b, p: jnp.sum(conv_block_reference(
+            jnp.concatenate([a, b], axis=-1), p, mask, True, None)[0] * dy),
+        argnums=(0, 1, 2))(xa, xb, params)
+    (ga_f, gb_f), gp_f = jax.grad(
+        lambda pair, p: jnp.sum(fused_conv_block(
+            pair, p, pm, None, True, True, None, None)[0] * dy),
+        argnums=(0, 1))((xa, xb), params)
+
+    np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_r),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_r),
+                               atol=1e-4, rtol=1e-3)
+    gscale = max(float(jnp.max(jnp.abs(getattr(gp_r, n))))
+                 for n in params._fields)
+    for name in params._fields:
+        a, b = np.asarray(getattr(gp_r, name)), np.asarray(getattr(gp_f, name))
+        assert np.max(np.abs(a - b)) < 1e-4 * gscale + 1e-6, name
+
+
 def test_supported_shapes():
     assert supported(224, 224, 16, 16)
     assert supported(224, 224, 1, 16)
