@@ -49,7 +49,31 @@ WARMUP = 10
 ITERS = 50
 
 
+def _require_live_device(deadline_s: float = 300.0) -> None:
+    """Fail fast (clear message, rc=2) instead of hanging forever when the
+    TPU tunnel is unreachable — jax.devices()/the first Execute block
+    indefinitely on a dead tunnel, which would wedge the driver's bench run."""
+    import sys
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        x = jnp.ones((8, 8))
+        float(np.asarray(x @ x)[0, 0])  # compile + execute + readback
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(deadline_s)
+    if not ok.is_set():
+        print(f"bench.py: no response from the accelerator within "
+              f"{deadline_s:.0f}s — backend/tunnel down?", file=sys.stderr)
+        os._exit(2)
+
+
 def main():
+    _require_live_device()
     cfg = Config(
         datasets="acdc", num_classes=4, in_channels=1,
         train_crop_size=[HW, HW], test_crop_size=[HW, HW],
