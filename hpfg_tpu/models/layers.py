@@ -131,6 +131,10 @@ _FUSED_CONV: bool | None = (
 # ConvBlock._use_fused_pair. Default off until TPU-gate + bench validated.
 _FUSED_PAIR: bool = _os.environ.get("HPFG_FUSED_PAIR", "0") == "1"
 
+# In-kernel C=1 stem expand (no HBM channel pad); default off until
+# TPU-gate + bench validated — off reproduces the r3-gated pre-pad program.
+_FUSED_STEM: bool = _os.environ.get("HPFG_FUSED_STEM", "0") == "1"
+
 
 def set_fused_conv(enabled: bool | None) -> None:
     """Force (True/False) or restore auto (None) fused ConvBlock dispatch."""
@@ -232,11 +236,12 @@ class ConvBlock(nn.Module):
             x = x.astype(self.dtype)
         s1 = self.get_variable("batch_stats", "bn1")
         s2 = self.get_variable("batch_stats", "bn2")
-        if not isinstance(x, tuple) and x.shape[-1] == 1:
-            # stem: pad C 1->16 and take the packed conv1 path — an XLA
-            # stem conv is a batch-in-lanes layout anchor costing ~0.5 ms
-            # in transpose copies around the Pallas boundary (r3 profile);
-            # the 16x MAC padding waste is ~20 us of MXU time
+        if not isinstance(x, tuple) and x.shape[-1] == 1 and not _FUSED_STEM:
+            # stem via HBM channel pad 1->16 (the r3-gated program). With
+            # HPFG_FUSED_STEM=1 the unpadded image passes through and the
+            # kernel lane-expands it in VMEM instead (_conv_stats_c1) — the
+            # pad is a 16x-inflated materialization plus a layout copy,
+            # ~0.7 ms/step in the r3 copy audit.
             x = cb.pad_channels(x, axis=3)
             w1 = cb.pad_channels(w1, axis=2)
         params = cb.ConvBlockParams(

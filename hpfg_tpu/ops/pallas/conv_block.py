@@ -399,6 +399,32 @@ def _conv_stats_kernel(x_ref, wbig_ref, bvec_ref, h_ref, sums_ref, *,
     _flush_stats(sums_ref, local)
 
 
+def _conv_stats_c1_kernel(x_ref, e_ref, wbig_ref, bvec_ref, h_ref, sums_ref,
+                          *, c, f, w, h, pix, want_stats, dtype):
+    """Stem conv3x3 for a SINGLE-channel input read in packed [H, W] form.
+
+    The C=1 image cannot take the generic packed path directly (pix*C % 128
+    alignment needs pix=128), and padding the channel axis to 16 in HBM costs
+    a 16x-inflated pad materialization plus a layout copy at the Pallas
+    boundary (~0.7 ms/step in the r3 copy audit). Instead the kernel expands
+    each chunk's rows onto the 16-channel lane structure IN VMEM with one MXU
+    matmul against the 0/1 expansion operand e_ref ([W, W*16], pixel i ->
+    lane 16*i), then runs the generic c=16 conv pipeline. HBM reads 3.2 MB
+    instead of 51 MB at 224^2."""
+
+    def expand(r, lo, hi):
+        return jax.lax.dot_general(
+            r.astype(e_ref.dtype), e_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    local = _new_local(want_stats, w * f)
+    local = _conv_rows(x_ref, wbig_ref, bvec_ref, h_ref, local,
+                       c=c, f=f, w=w, h=h, pix=pix,
+                       transform=expand, dtype=dtype)
+    _flush_stats(sums_ref, local)
+
+
 def _conv_stats_cat_kernel(x_ref, xb_ref, wbig_ref, bvec_ref, h_ref,
                            sums_ref, *, c, cb, f, w, h, pix, want_stats,
                            dtype):
@@ -476,6 +502,39 @@ def _conv_stats(x2, wbig, bvec, *, c, f, h, w, pix, want_stats,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(x2, wbig, bvec.reshape(1, lf))
+    return out, sums
+
+
+def _expansion_matrix(w: int, c: int, dtype) -> jax.Array:
+    """0/1 operand for the in-kernel C=1 expand: E[i, i*c] = 1 (pixel i of a
+    packed [H, W] row lands on lane i*c, channel 0 of c). Built from iotas in
+    the surrounding jit — one tiny fused op, no HBM pad materialization."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (w, w * c), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (w, w * c), 1)
+    return (j == i * c).astype(dtype)
+
+
+def _conv_stats_c1(x2, e, wbig, bvec, *, c, f, h, w, pix, want_stats,
+                   dtype, interpret=False):
+    """Packed stem conv: x2 is [B, H, W] (C=1); the kernel lane-expands each
+    chunk to the c-channel structure via one MXU matmul against ``e``."""
+    b = x2.shape[0]
+    lf = w * f
+    kernel = functools.partial(_conv_stats_c1_kernel, c=c, f=f, w=w, h=h,
+                               pix=pix, want_stats=want_stats, dtype=dtype)
+    wspec = pl.BlockSpec(wbig.shape, lambda b: (0,) * wbig.ndim,
+                         memory_space=pltpu.VMEM)
+    espec = pl.BlockSpec(e.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+    out, sums = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[_row_spec(h, w), espec, wspec, _vec_spec(lf)],
+        out_specs=[_row_spec(h, lf), _sums_spec(lf)],
+        out_shape=[jax.ShapeDtypeStruct((b, h, lf), dtype),
+                   jax.ShapeDtypeStruct((2, lf), jnp.float32)],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(x2, e, wbig, bvec.reshape(1, lf))
     return out, sums
 
 
@@ -661,10 +720,29 @@ def _forward(x, params: ConvBlockParams, mask, run_stats, train: bool,
     w2 = expand_weights(params.w2.astype(dtype), pix2)
     b2vec = jnp.tile(params.b2.astype(jnp.float32), w)
 
-    if c == 1:
-        # single-channel stem: a packed conv1 would pad C to 16 and waste
-        # 16x of its MXU/K work on zeros — run conv1 through XLA (C=1 convs
-        # have a cheap lowering) and enter the Pallas path at bn1. The
+    if c == 1 and choose_pix(w, 16, f) is not None:
+        # single-channel stem, packed: the kernel reads the [B, H, W] image
+        # (3.2 MB at 224^2, not the 51 MB HBM-padded form whose pad + layout
+        # copy cost ~0.7 ms/step in the r3 copy audit) and lane-expands each
+        # chunk to the 16-channel structure in VMEM via one MXU matmul
+        # against the 0/1 expansion operand. Weights pad 1->16 so the
+        # generic c=16 conv pipeline applies; the zero-K MXU waste is ~20 us.
+        ce = 16
+        pix1 = choose_pix(w, ce, f)
+        w1p = jnp.pad(params.w1, ((0, 0), (0, 0), (0, ce - 1), (0, 0)))
+        w1 = expand_weights(w1p.astype(dtype), pix1)
+        b1vec = jnp.tile(params.b1.astype(jnp.float32), w)
+        e = _expansion_matrix(w, ce, dtype)
+        h2, sums1 = _conv_stats_c1(x.reshape(b, h, w), e, w1, b1vec, c=ce,
+                                   f=f, h=h, w=w, pix=pix1, want_stats=train,
+                                   dtype=dtype, interpret=interpret)
+        if train:
+            mean1, var1 = _finalize_stats(sums1, n, f)
+        else:
+            mean1, var1 = run_stats.mean1, run_stats.var1
+    elif c == 1:
+        # fallback for widths the packed stem cannot tile: run conv1 through
+        # XLA (C=1 convs have a cheap lowering) and enter Pallas at bn1. The
         # [B,H,W,F] -> [B,H,W*F] pack is a free reshape.
         h4 = _conv3x3(x, params.w1.astype(dtype)).astype(
             jnp.float32) + params.b1
@@ -1008,9 +1086,9 @@ def _bwd(train, interpret, drop, res, cts):
         dx = tuple(dxs)
         dw1 = jnp.concatenate(dws, axis=2)
     elif cin == 1:
-        # stem: conv1 ran through XLA in _forward — take its transpose the
-        # same way (C=1 dgrad/wgrad are cheap XLA convs; the packed kernels
-        # would again pay the 16x channel padding)
+        # stem: whether conv1 ran packed (in-kernel lane expand) or through
+        # XLA, its transpose is the same C=1 conv pair — cheap as XLA convs
+        # (dx is DCE'd when the image needs no gradient; wgrad is [3,3,1,F])
         def stem_conv(xx, ww):
             # all-f32: a mixed bf16/f32 conv TRANSPOSE is a TypeError, and
             # the C=1 stem convs are cheap even in f32

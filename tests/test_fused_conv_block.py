@@ -210,6 +210,43 @@ def test_convblock_module_fused_equals_flax():
                                    atol=1e-3, rtol=1e-3)
 
 
+def test_convblock_module_c1_stem_flag_paths_agree(monkeypatch):
+    """C=1 stem through the module with HPFG_FUSED_STEM on (in-kernel lane
+    expand) vs off (HBM channel pad): identical forward, stats and grads —
+    both against the plain flax path."""
+    x = jnp.asarray(rng_np.normal(size=(2, 16, 16, 1)), jnp.float32)
+    block = layers.ConvBlock(features=16, dropout_p=0.0, dtype=jnp.float32)
+    variables = block.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x, train=True)
+
+    def run(fused, stem_flag):
+        monkeypatch.setattr(layers, "_FUSED_STEM", stem_flag)
+        layers.set_fused_conv(fused)
+        try:
+            y, mut = block.apply(variables, x, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(2)},
+                                 mutable=["batch_stats"])
+            g = jax.grad(lambda p: jnp.sum(block.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                x, train=True, rngs={"dropout": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"])[0] ** 2))(variables["params"])
+            return y, mut["batch_stats"], g
+        finally:
+            layers.set_fused_conv(None)
+
+    y_ref, st_ref, g_ref = run(fused=False, stem_flag=False)
+    for stem_flag in (False, True):
+        y, st, g = run(fused=True, stem_flag=stem_flag)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=2e-3)
+        for a, b in zip(jax.tree.leaves(st_ref), jax.tree.leaves(st)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-3)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-3, rtol=1e-3)
+
+
 class TestPlainConv:
     """fused_conv3x3_plain (packed plain conv for stem/out_conv/1x1 sites)
     against the jnp conv oracle, forward and VJP."""
