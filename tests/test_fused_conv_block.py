@@ -101,7 +101,7 @@ def _dual_data(ca, cb, f, seed):
 
 
 @pytest.mark.parametrize("ca,cb,f", [(16, 16, 16), (32, 16, 16),
-                                     (32, 32, 32)])
+                                     (32, 32, 32), (64, 64, 64)])
 def test_dual_input_forward_matches_concat_reference(ca, cb, f):
     """conv1(concat(a, b)) == the dual-im2col kernel fed (a, b) — the
     UpBlock skip-concat fold (the interleave never materializes)."""
@@ -115,7 +115,8 @@ def test_dual_input_forward_matches_concat_reference(ca, cb, f):
 
 
 @pytest.mark.parametrize("ca,cb,f,with_mask", [(16, 16, 16, True),
-                                               (32, 32, 32, False)])
+                                               (32, 32, 32, False),
+                                               (64, 64, 64, False)])
 def test_dual_input_vjp_matches_autodiff(ca, cb, f, with_mask):
     params, xa, xb, mask, dy = _dual_data(ca, cb, f, seed=ca * 10 + f)
     if not with_mask:
