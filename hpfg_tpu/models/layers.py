@@ -89,6 +89,32 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jn
     return _resize_einsum(x, out_hw)
 
 
+def resize_bilinear_packed_rows(x: jnp.ndarray,
+                                out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Same bilinear align-corners resize with the interpolation order
+    swapped and the ROW pass run on the packed [B, H, W*C] form: columns
+    interpolate at the input height (4x less data at a 2x upsample), then
+    one row matmul produces the output directly in the row-major packed
+    layout the fused dual-input ConvBlock consumes — no 'bowc' intermediate,
+    whose layout transposes cost ~0.5 ms/step in the r3 copy audit.
+    Numerically the separable passes commute (same weights tensor product);
+    summation order differs only at bf16 noise level."""
+    b, h_in, w_in, c = x.shape
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    prec = _interp_precision(x.dtype)
+    if w_in != w_out:
+        ww = jnp.asarray(_align_corners_weights(w_in, w_out), x.dtype)
+        x = jnp.einsum("ow,bhwc->bhoc", ww, x, precision=prec)
+    if h_in != h_out:
+        wh = jnp.asarray(_align_corners_weights(h_in, h_out), x.dtype)
+        xp = jnp.einsum("oh,bhl->bol", wh, x.reshape(b, h_in, w_out * c),
+                        precision=prec)
+        x = xp.reshape(b, h_out, w_out, c)
+    return x
+
+
 def _adaptive_pool_weights(in_size: int, out_size: int) -> np.ndarray:
     """Row-stochastic [out, in] averaging matrix replicating torch
     AdaptiveAvgPool2d window math: window i = [floor(i*in/out), ceil((i+1)*in/out))."""
@@ -134,6 +160,23 @@ _FUSED_PAIR: bool = _os.environ.get("HPFG_FUSED_PAIR", "0") == "1"
 # In-kernel C=1 stem expand (no HBM channel pad); default off until
 # TPU-gate + bench validated — off reproduces the r3-gated pre-pad program.
 _FUSED_STEM: bool = _os.environ.get("HPFG_FUSED_STEM", "0") == "1"
+
+
+def fused_pair_dispatch(h: int, w: int, ca: int, cb: int, f: int) -> bool:
+    """Whether a (skip, up) pair of these shapes takes the dual-input fused
+    ConvBlock (shared by ConvBlock._use_fused_pair and UpBlock's choice of
+    resize form). auto additionally requires HPFG_FUSED_PAIR=1 until the
+    dual-input kernels have a green TPU gate + bench — Mosaic lowering is
+    invisible to the CPU interpret suite (CLAUDE.md TPU COMPILE GATE)."""
+    from hpfg_tpu.ops.pallas.conv_block import profitable, supported_cat
+
+    if not supported_cat(h, w, ca, cb, f):
+        return False
+    if _FUSED_CONV is not None:
+        return _FUSED_CONV
+    return (_FUSED_PAIR
+            and jax.default_backend() == "tpu"
+            and profitable(h, w, ca + cb, f))
 
 
 def set_fused_conv(enabled: bool | None) -> None:
@@ -203,24 +246,12 @@ class ConvBlock(nn.Module):
     def _use_fused_pair(self, pair) -> bool:
         if self.is_initializing():
             return False
-        from hpfg_tpu.ops.pallas.conv_block import profitable, supported_cat
-
         xa, xb = pair
         if (xa.ndim != 4 or xb.ndim != 4
                 or xa.shape[:3] != xb.shape[:3]):
             return False
-        _, h, w, ca = xa.shape
-        cb_ = xb.shape[-1]
-        if not supported_cat(h, w, ca, cb_, self.features):
-            return False
-        if _FUSED_CONV is not None:
-            return _FUSED_CONV
-        # auto additionally requires HPFG_FUSED_PAIR=1 until the dual-input
-        # kernels have a green TPU gate + bench (Mosaic lowering is invisible
-        # to the CPU interpret suite — see CLAUDE.md TPU COMPILE GATE)
-        return (_FUSED_PAIR
-                and jax.default_backend() == "tpu"
-                and profitable(h, w, ca + cb_, self.features))
+        return fused_pair_dispatch(xa.shape[1], xa.shape[2], xa.shape[3],
+                                   xb.shape[-1], self.features)
 
     def _fused(self, x, train: bool) -> jnp.ndarray:
         from hpfg_tpu.ops.pallas import conv_block as cb
@@ -360,7 +391,14 @@ class UpBlock(nn.Module):
         else:
             x = nn.Conv(self.skip_features, (1, 1), dtype=self.dtype,
                         name="conv1x1")(x)
-        x = resize_bilinear_align_corners(x, (skip.shape[1], skip.shape[2]))
+        target = (skip.shape[1], skip.shape[2])
+        if not self.is_initializing() and fused_pair_dispatch(
+                target[0], target[1], skip.shape[3], f, self.features):
+            # packed-row resize: the upsampled half lands directly in the
+            # row-major packed layout the dual-input kernel consumes
+            x = resize_bilinear_packed_rows(x, target)
+        else:
+            x = resize_bilinear_align_corners(x, target)
         # pass the halves as a pair: the fused ConvBlock folds the channel
         # concat into its dual-im2col conv1 (falls back to an explicit
         # concatenate off the fused path)

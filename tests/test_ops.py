@@ -145,6 +145,20 @@ class TestLayers:
                                  align_corners=True).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
 
+    def test_packed_rows_resize_matches_nhwc_form(self, np_rng):
+        """resize_bilinear_packed_rows (row pass on the packed [B,H,W*C]
+        form, used on the fused-pair path) == the NHWC separable form; the
+        swapped pass order differs only in float summation order."""
+        from hpfg_tpu.models.layers import (resize_bilinear_align_corners,
+                                            resize_bilinear_packed_rows)
+
+        x = np_rng.normal(size=(2, 8, 12, 16)).astype(np.float32)
+        ref = np.asarray(
+            resize_bilinear_align_corners(jnp.asarray(x), (16, 24)))
+        got = np.asarray(
+            resize_bilinear_packed_rows(jnp.asarray(x), (16, 24)))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
     def test_adaptive_pool_matches_torch(self, np_rng):
         import torch
 
