@@ -329,6 +329,15 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     if _POOL_IMPL == "pairwise":
         r = jnp.maximum(x[:, 0::2], x[:, 1::2])
         return jnp.maximum(r[:, :, 0::2], r[:, :, 1::2])
+    if _POOL_IMPL == "sliced":
+        # contiguous-slice pairing: reshape (free) + unit slices, whose
+        # backward is pad+select — avoids both the strided-slice
+        # scatter-add/gather of 'pairwise' (r3 audit: ~1.2 ms/step at
+        # down1/down2) and the eq-vs-rebroadcast of 'reshape'
+        xr = x.reshape(b, h // 2, 2, w, c)
+        r = jnp.maximum(xr[:, :, 0], xr[:, :, 1])
+        rr = r.reshape(b, h // 2, w // 2, 2, c)
+        return jnp.maximum(rr[:, :, :, 0], rr[:, :, :, 1])
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return jnp.max(x, axis=(2, 4))
 
