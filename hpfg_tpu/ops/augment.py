@@ -123,6 +123,29 @@ def _rotation_index_maps(h: int, w: int, angle_deg: jnp.ndarray):
     return jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1), valid
 
 
+def _rot_flip_batch(images: jnp.ndarray, masks: jnp.ndarray,
+                    ks: jnp.ndarray, axes: jnp.ndarray):
+    """Per-sample rot90(k) + flip(axis) over a square batch WITHOUT the
+    vmapped lax.switch (under vmap every rot90 branch executes for every
+    sample — 4 transposed copies of the batch per stream). Decomposition:
+    rot90(x, k) = maybe-transpose (k odd) then row-reverse (k in {1,2})
+    then col-reverse (k in {2,3}); the subsequent flip toggles the matching
+    reverse flag. ONE batch transpose + three flag-driven selects, outputs
+    identical to the switch form (tests pin equality per (k, axis))."""
+    kodd = (ks % 2) == 1
+    rowf = ((ks == 1) | (ks == 2)) ^ (axes == 0)
+    colf = ((ks == 2) | (ks == 3)) ^ (axes == 1)
+
+    def apply(x, t, nd):
+        sh = (-1,) + (1,) * nd
+        x = jnp.where(kodd.reshape(sh), t, x)
+        x = jnp.where(rowf.reshape(sh), x[:, ::-1], x)
+        return jnp.where(colf.reshape(sh), x[:, :, ::-1], x)
+
+    return (apply(images, jnp.swapaxes(images, 1, 2), 3),
+            apply(masks, jnp.swapaxes(masks, 1, 2), 2))
+
+
 def _augment_stream_fast(rng: jax.Array, images: jnp.ndarray,
                          masks: jnp.ndarray):
     """Batched RandomGenerator with a SHARED per-batch rotation angle.
@@ -142,10 +165,13 @@ def _augment_stream_fast(rng: jax.Array, images: jnp.ndarray,
     axes = jax.random.randint(k_flip, (b,), 0, 2)
     angle = jax.random.randint(k_angle, (), -20, 20)
 
-    rf_img = jax.vmap(lambda im, k, a: _flip_axis(_rot90_k(im, k), a))(
-        images, ks, axes)
-    rf_msk = jax.vmap(lambda m, k, a: _flip_axis(_rot90_k(m, k), a))(
-        masks, ks, axes)
+    if h == w:
+        rf_img, rf_msk = _rot_flip_batch(images, masks, ks, axes)
+    else:  # non-square crops: keep the general switch form
+        rf_img = jax.vmap(lambda im, k, a: _flip_axis(_rot90_k(im, k), a))(
+            images, ks, axes)
+        rf_msk = jax.vmap(lambda m, k, a: _flip_axis(_rot90_k(m, k), a))(
+            masks, ks, axes)
 
     yi, xi, valid = _rotation_index_maps(h, w, angle)
     rot_img = jnp.where(valid[None, :, :, None], images[:, yi, xi, :], 0.0)

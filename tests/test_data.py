@@ -133,6 +133,37 @@ class TestDeviceAugment:
         np.testing.assert_array_equal(
             np.asarray(out_img[..., 0]).astype(np.int32), np.asarray(out_msk))
 
+    def test_rot_flip_decomposition_equals_switch_form(self):
+        """_rot_flip_batch (one batch transpose + flag selects) is bitwise
+        equal to the vmapped rot90-switch + flip form for every (k, axis)
+        and for mixed per-sample draws."""
+        import jax
+        import jax.numpy as jnp
+
+        from hpfg_tpu.ops.augment import (_flip_axis, _rot90_k,
+                                          _rot_flip_batch)
+
+        g = np.random.default_rng(0)
+        imgs = jnp.asarray(g.random((6, 10, 10, 2)), jnp.float32)
+        msks = jnp.asarray(g.integers(0, 4, (6, 10, 10)), jnp.int32)
+
+        def oracle(ks, axes):
+            oi = jax.vmap(lambda im, k, a: _flip_axis(_rot90_k(im, k), a))(
+                imgs, ks, axes)
+            om = jax.vmap(lambda m, k, a: _flip_axis(_rot90_k(m, k), a))(
+                msks, ks, axes)
+            return oi, om
+
+        cases = [(jnp.full((6,), k), jnp.full((6,), a))
+                 for k in range(4) for a in range(2)]
+        cases.append((jnp.asarray(g.integers(0, 4, (6,))),
+                      jnp.asarray(g.integers(0, 2, (6,)))))
+        for ks, axes in cases:
+            ni, nm = _rot_flip_batch(imgs, msks, ks, axes)
+            oi, om = oracle(ks, axes)
+            np.testing.assert_array_equal(np.asarray(ni), np.asarray(oi))
+            np.testing.assert_array_equal(np.asarray(nm), np.asarray(om))
+
     def test_rotation_matches_scipy_semantics(self):
         from hpfg_tpu.ops.augment import _rotate_nearest
         import jax.numpy as jnp
