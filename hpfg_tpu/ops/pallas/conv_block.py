@@ -1162,12 +1162,25 @@ def _plain_fwd_packed(x, w, bvec, interpret):
     return _unpack(h2, wimg, f)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_conv3x3_plain(x, w, b, interpret: bool = False):
     """SAME-padded 3x3 conv + bias on NHWC via the packed-lane kernels
-    (jnp/XLA semantics identical to ``_conv3x3(x, w) + b``). Caller pads
-    C/F to multiples of 16 (grads flow through jnp.pad's slice transpose).
-    """
+    (jnp/XLA semantics identical to ``_conv3x3(x, w) + b``). Pads C/F to
+    multiples of 16 itself (grads flow through jnp.pad/slice transposes
+    OUTSIDE the custom_vjp); shapes the packed kernels cannot tile even
+    after padding fall back to the XLA conv — a forced HPFG_FUSED_CONV=1
+    on unsupported tiny shapes must degrade, not crash."""
+    f = w.shape[-1]
+    xp = pad_channels(x, 3)
+    wp = pad_channels(pad_channels(w, 2), 3)
+    if choose_pix(x.shape[2], xp.shape[-1], wp.shape[-1]) is None:
+        return _conv3x3(x, w) + b
+    y = _plain_aligned(xp, wp, pad_channels(b, 0), interpret)
+    return y if y.shape[-1] == f else y[..., :f]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _plain_aligned(x, w, b, interpret: bool = False):
+    """The packed-kernel core of fused_conv3x3_plain: C/F already aligned."""
     return _plain_fwd_packed(x, w, b, interpret)
 
 
@@ -1194,7 +1207,7 @@ def _plain_bwd(interpret, res, dy):
     return dx.astype(x.dtype), dw.astype(w.dtype), db
 
 
-fused_conv3x3_plain.defvjp(_plain_fwd, _plain_bwd)
+_plain_aligned.defvjp(_plain_fwd, _plain_bwd)
 
 
 def pad_channels(arr, axis: int, mult: int = 16):
