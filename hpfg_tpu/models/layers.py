@@ -338,6 +338,9 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
         r = jnp.maximum(xr[:, :, 0], xr[:, :, 1])
         rr = r.reshape(b, h // 2, w // 2, 2, c)
         return jnp.maximum(rr[:, :, :, 0], rr[:, :, :, 1])
+    if _POOL_IMPL != "reshape":
+        raise ValueError(f"unknown HPFG_POOL={_POOL_IMPL!r} "
+                         "(pairwise | sliced | reshape)")
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return jnp.max(x, axis=(2, 4))
 

@@ -165,13 +165,14 @@ def _augment_stream_fast(rng: jax.Array, images: jnp.ndarray,
     axes = jax.random.randint(k_flip, (b,), 0, 2)
     angle = jax.random.randint(k_angle, (), -20, 20)
 
-    if h == w:
-        rf_img, rf_msk = _rot_flip_batch(images, masks, ks, axes)
-    else:  # non-square crops: keep the general switch form
-        rf_img = jax.vmap(lambda im, k, a: _flip_axis(_rot90_k(im, k), a))(
-            images, ks, axes)
-        rf_msk = jax.vmap(lambda m, k, a: _flip_axis(_rot90_k(m, k), a))(
-            masks, ks, axes)
+    if h != w:
+        # odd-k rot90 changes an HxW sample to WxH, so the per-sample switch
+        # could never trace either — the device augment has always required
+        # square crops (the reference resizes to a square train_crop_size
+        # before augmenting, datasets/utils.py:99-117). Fail loudly.
+        raise ValueError(
+            f"device augmentation requires square crops, got {h}x{w}")
+    rf_img, rf_msk = _rot_flip_batch(images, masks, ks, axes)
 
     yi, xi, valid = _rotation_index_maps(h, w, angle)
     rot_img = jnp.where(valid[None, :, :, None], images[:, yi, xi, :], 0.0)

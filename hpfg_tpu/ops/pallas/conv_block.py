@@ -1172,8 +1172,8 @@ def fused_conv3x3_plain(x, w, b, interpret: bool = False):
     f = w.shape[-1]
     xp = pad_channels(x, 3)
     wp = pad_channels(pad_channels(w, 2), 3)
-    if choose_pix(x.shape[2], xp.shape[-1], wp.shape[-1]) is None:
-        return _conv3x3(x, w) + b
+    if not supported(x.shape[1], x.shape[2], xp.shape[-1], wp.shape[-1]):
+        return _conv3x3(x, w) + b  # incl. the c/f<=128 qualification caps
     y = _plain_aligned(xp, wp, pad_channels(b, 0), interpret)
     return y if y.shape[-1] == f else y[..., :f]
 
