@@ -38,6 +38,7 @@ jax.grad of the pure-jnp reference in tests/test_fused_conv_block.py.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -48,6 +49,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 LRELU_SLOPE = 0.01
 BN_EPS = 1e-5
+
+# In-kernel im2col construction for the SINGLE-input conv paths:
+#   'roll'  — two full-width fp32 lane rolls per chunk, per-dy window
+#             concats (the round-2/3 validated form);
+#   'shift' — group-reshape the chunk once, 'own' operands are static
+#             sublane slices (K = pix*C, one full MXU K-pass), and all six
+#             halo columns (left/right x 3 dy) pack into ONE [M, 6C]
+#             operand: 4 MXU K-passes per chunk instead of 6, zero lane
+#             rolls, zero full-width concats, bf16 end-to-end.
+# A/B candidate for the 15.1 ms/step of conv._fused the r3 profile shows
+# against a 2-3 ms HBM roofline (BENCH_NOTES.md). Dual-input (concat-fold)
+# and wgrad kernels always use 'roll'.
+_IM2COL = _os.environ.get("HPFG_IM2COL", "roll")
+if _IM2COL not in ("roll", "shift"):
+    raise ValueError(f"unknown HPFG_IM2COL={_IM2COL!r} (roll | shift)")
+
+
+def set_im2col_form(form: str) -> None:
+    """Force the im2col construction ('roll' | 'shift'); tests/probes only —
+    takes effect at trace time, so flip it before (re)tracing."""
+    global _IM2COL
+    if form not in ("roll", "shift"):
+        raise ValueError(form)
+    _IM2COL = form
 
 # Output pixels per MXU column group ("pix"). The expanded weight matrix
 # [3*(pix+2)*C, pix*F] has density 3/(pix+2) — smaller pix = denser MXU work
@@ -200,6 +225,53 @@ def expand_weights_cat(wa: jax.Array, wb: jax.Array, pix: int) -> jax.Array:
                            axis=1).reshape(3 * (ka + kb), pf)
 
 
+def _placement_shift(c: int, pix: int) -> np.ndarray:
+    """0/1 indicator for the shift-form 'own' blocks: im2col lane p'*C+ci
+    (own pixel p' of the group) feeds output pixel p through tap dx = p'-p+1
+    when that tap stays inside the group."""
+    key = ("shift", c, pix)
+    if key not in _PLACEMENT_CACHE:
+        t = np.zeros((pix * c, pix, 3, c), np.float32)
+        for p in range(pix):
+            for dx in range(3):
+                pp = p + dx - 1
+                if 0 <= pp < pix:
+                    for ci in range(c):
+                        t[pp * c + ci, p, dx, ci] = 1.0
+        _PLACEMENT_CACHE[key] = t.reshape(pix * c * pix, 3 * c)
+    return _PLACEMENT_CACHE[key]
+
+
+def expand_weights_shift(w: jax.Array, pix: int) -> jax.Array:
+    """[3, 3, C, F] -> [3*pix*C + 6*C, pix*F] for the shift-form kernels.
+
+    Rows [i*pix*C, (i+1)*pix*C) are dy-slab i's 'own' block (taps whose
+    input pixel lies inside the output group); the trailing 6C rows are the
+    packed halo block, matching the kernel's [M, 6C] halo operand columns
+    [left(dy=-1) | right(dy=-1) | left(0) | right(0) | left(1) | right(1)]:
+    the left halo (group pixel -1) only feeds output pixel p=0 through
+    dx=0, the right halo (pixel pix) only p=pix-1 through dx=2. Total K
+    rows equal the roll form's 3*(pix+2)*C — the contraction work is
+    conserved; only its pass structure changes."""
+    _, _, c, f = w.shape
+    t = jnp.asarray(_placement_shift(c, pix), w.dtype)
+    wr = w.reshape(3, 3 * c, f)
+    own = jnp.einsum("kx,yxf->ykf", t, wr)          # [3, pix*c*pix, f]
+    own = own.reshape(3, pix * c, pix, f).reshape(3 * pix * c, pix * f)
+    halo = jnp.zeros((3, 2 * c, pix, f), w.dtype)
+    halo = halo.at[:, :c, 0].set(w[:, 0])           # left -> output p=0
+    halo = halo.at[:, c:, pix - 1].set(w[:, 2])     # right -> p=pix-1
+    return jnp.concatenate([own, halo.reshape(6 * c, pix * f)], axis=0)
+
+
+def _expand1(w: jax.Array, pix: int) -> jax.Array:
+    """Weight expansion for the SINGLE-input conv kernels in the active
+    im2col form (the kernels branch on the same module flag at trace
+    time, so operand and weight layouts always agree)."""
+    return (expand_weights_shift(w, pix) if _IM2COL == "shift"
+            else expand_weights(w, pix))
+
+
 # ---------------------------------------------------------------------------
 # in-kernel helpers
 # ---------------------------------------------------------------------------
@@ -303,6 +375,58 @@ def _im2col_dy_windows(left, right, dy, th, c, w, pix):
     return lw, rw
 
 
+def _shift_chunk_conv(ext, wbig_ref, *, c, f, w, pix, mm):
+    """One chunk's conv output [TH, W*F] in the SHIFT im2col form.
+
+    ext: [TH+2, W*C] fp32 extended rows (transform already applied). The
+    chunk group-reshapes ONCE to [(TH+2)*G, pix*C] (G = W/pix; lane-aligned
+    by choose_pix) and casts to the matmul dtype once. Each dy slab's 'own'
+    operand is a static sublane slice (K = pix*C — exactly one full MXU
+    K-pass at pix*C=128); the six halo columns are narrow slices of the
+    +-1-sublane-shifted group rows, pre-masked so the per-row SAME boundary
+    contributes zeros, packed into ONE [M, 6C] operand (a single K-pass).
+    No lane rolls, no full-width concats."""
+    the = ext.shape[0]
+    th = the - 2
+    g = w // pix
+    m = th * g
+    grp = ext.reshape(the * g, pix * c).astype(mm)
+    kown = pix * c
+    # halo source columns: ONE narrow lane slice each, masked at the group
+    # boundary (left operand row j sources group-row s+j-1, whose value
+    # must vanish when output group g = j%G == 0, i.e. source%G == G-1;
+    # right symmetric). If Mosaic ever rejects the int remainder for a
+    # non-power-of-2 G, swap ridx%g for a periodic iota:
+    # broadcasted_iota(int32, (the, g, c), 1).reshape(the*g, c).
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (the * g, c), 0)
+    zero = jnp.zeros((), mm)
+    lcol = jnp.where(ridx % g == g - 1, zero, grp[:, (pix - 1) * c:])
+    rcol = jnp.where(ridx % g == 0, zero, grp[:, :c])
+    zrow = jnp.zeros((1, c), mm)
+    halos = []
+    for i in range(3):
+        s = i * g
+        if s == 0:
+            left = jnp.concatenate([zrow, lcol[:m - 1]], axis=0)
+        else:
+            left = lcol[s - 1:s - 1 + m]
+        if s + 1 + m <= the * g:
+            right = rcol[s + 1:s + 1 + m]
+        else:
+            right = jnp.concatenate([rcol[s + 1:], zrow], axis=0)
+        halos += [left, right]
+    o = jax.lax.dot_general(
+        jnp.concatenate(halos, axis=1), wbig_ref[3 * kown:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [M, pix*F]
+    for i in range(3):
+        o = o + jax.lax.dot_general(
+            grp[i * g:i * g + m], wbig_ref[i * kown:(i + 1) * kown],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return o.reshape(th, w * f)
+
+
 def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h, pix,
                transform, dtype, post=None, x2_ref=None, c2=0):
     """Chunked packed-row 3x3 SAME conv over one image.
@@ -321,28 +445,33 @@ def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h, pix,
     """
     th = _row_chunk(h, w * max(c + c2, f))
     kdy = (pix + 2) * (c + c2)
+    use_shift = _IM2COL == "shift" and x2_ref is None
     mm = x_ref.dtype if x_ref.dtype != jnp.float32 else jnp.float32
     for y0 in range(0, h, th):
         ext = _padded_rows(x_ref, y0, th, h, transform)  # fp32 (rolls)
-        left, right = _rolled_pair(ext, c, w, pix)  # ONE roll pair per chunk
-        if x2_ref is not None:
-            ext2 = _padded_rows(x2_ref, y0, th, h, lambda r, lo, hi: r)
-            left2, right2 = _rolled_pair(ext2, c2, w, pix)
-        o = None
-        for i, dy in enumerate((-1, 0, 1)):
-            lw, rw = _im2col_dy_windows(left, right, dy, th, c, w, pix)
-            parts = [lw, rw]
+        if use_shift:
+            o = _shift_chunk_conv(ext, wbig_ref, c=c, f=f, w=w, pix=pix,
+                                  mm=mm)
+        else:
+            left, right = _rolled_pair(ext, c, w, pix)  # ONE roll pair/chunk
             if x2_ref is not None:
-                lw2, rw2 = _im2col_dy_windows(left2, right2, dy, th, c2, w,
-                                              pix)
-                parts += [lw2, rw2]
-            a = jnp.concatenate(parts, axis=1).astype(mm)
-            part = jax.lax.dot_general(
-                a, wbig_ref[i * kdy:(i + 1) * kdy],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [TH*W/pix, pix*F]
-            o = part if o is None else o + part
-        o = o.reshape(th, w * f)
+                ext2 = _padded_rows(x2_ref, y0, th, h, lambda r, lo, hi: r)
+                left2, right2 = _rolled_pair(ext2, c2, w, pix)
+            o = None
+            for i, dy in enumerate((-1, 0, 1)):
+                lw, rw = _im2col_dy_windows(left, right, dy, th, c, w, pix)
+                parts = [lw, rw]
+                if x2_ref is not None:
+                    lw2, rw2 = _im2col_dy_windows(left2, right2, dy, th, c2,
+                                                  w, pix)
+                    parts += [lw2, rw2]
+                a = jnp.concatenate(parts, axis=1).astype(mm)
+                part = jax.lax.dot_general(
+                    a, wbig_ref[i * kdy:(i + 1) * kdy],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [TH*W/pix, pix*F]
+                o = part if o is None else o + part
+            o = o.reshape(th, w * f)
         if bvec_ref is not None:
             o = o + bvec_ref[0]
         if post is not None:
@@ -679,7 +808,7 @@ def _forward(x, params: ConvBlockParams, mask, run_stats, train: bool,
         n = b * h * w
 
         pix2 = choose_pix(w, f, f)
-        w2 = expand_weights(params.w2.astype(dtype), pix2)
+        w2 = _expand1(params.w2.astype(dtype), pix2)
         b2vec = jnp.tile(params.b2.astype(jnp.float32), w)
 
         pix1 = choose_pix_cat(w, ca, cb, f)
@@ -717,7 +846,7 @@ def _forward(x, params: ConvBlockParams, mask, run_stats, train: bool,
     n = b * h * w
 
     pix2 = choose_pix(w, f, f)
-    w2 = expand_weights(params.w2.astype(dtype), pix2)
+    w2 = _expand1(params.w2.astype(dtype), pix2)
     b2vec = jnp.tile(params.b2.astype(jnp.float32), w)
 
     if c == 1 and choose_pix(w, 16, f) is not None:
@@ -730,7 +859,7 @@ def _forward(x, params: ConvBlockParams, mask, run_stats, train: bool,
         ce = 16
         pix1 = choose_pix(w, ce, f)
         w1p = jnp.pad(params.w1, ((0, 0), (0, 0), (0, ce - 1), (0, 0)))
-        w1 = expand_weights(w1p.astype(dtype), pix1)
+        w1 = _expand1(w1p.astype(dtype), pix1)
         b1vec = jnp.tile(params.b1.astype(jnp.float32), w)
         e = _expansion_matrix(w, ce, dtype)
         h2, sums1 = _conv_stats_c1(x.reshape(b, h, w), e, w1, b1vec, c=ce,
@@ -755,7 +884,7 @@ def _forward(x, params: ConvBlockParams, mask, run_stats, train: bool,
             mean1, var1 = run_stats.mean1, run_stats.var1
     else:
         pix1 = choose_pix(w, c, f)
-        w1 = expand_weights(params.w1.astype(dtype), pix1)
+        w1 = _expand1(params.w1.astype(dtype), pix1)
         b1vec = jnp.tile(params.b1.astype(jnp.float32), w)
         x2 = _pack(x)
         h2, sums1 = _conv_stats(x2, w1, b1vec, c=c, f=f, h=h, w=w, pix=pix1,
@@ -872,9 +1001,41 @@ def _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, seed_ref,
     mm = src_ref.dtype if src_ref.dtype != jnp.float32 else jnp.float32
     for y0 in range(0, h, th):
         ext = _padded_rows(src_ref, y0, th, h, transform)  # fp32 (rolls)
-        left, right = _rolled_pair(ext, c, w, pix)
         bgrp = dpre_ref[0, y0:y0 + th].astype(mm).reshape(
             th * w // pix, pix * f)                      # [TH*W/pix, pix*F]
+        if _IM2COL == "shift":
+            # same operand construction as _shift_chunk_conv, contraction
+            # transposed: own blocks land on rows [i*pix*C, (i+1)*pix*C),
+            # the packed halo on the trailing 6C rows (row count equals the
+            # roll form's 3*(pix+2)*C, so out_ref is shared; the fold
+            # differs — _fold_wgrad branches on the same flag).
+            g = w // pix
+            m = th * g
+            grp = ext.reshape((th + 2) * g, pix * c).astype(mm)
+            ridx = jax.lax.broadcasted_iota(jnp.int32, ((th + 2) * g, c), 0)
+            zero = jnp.zeros((), mm)
+            lcol = jnp.where(ridx % g == g - 1, zero, grp[:, (pix - 1) * c:])
+            rcol = jnp.where(ridx % g == 0, zero, grp[:, :c])
+            zrow = jnp.zeros((1, c), mm)
+            halos = []
+            for i in range(3):
+                s = i * g
+                left = (jnp.concatenate([zrow, lcol[:m - 1]], axis=0)
+                        if s == 0 else lcol[s - 1:s - 1 + m])
+                right = (rcol[s + 1:s + 1 + m]
+                         if s + 1 + m <= (th + 2) * g
+                         else jnp.concatenate([rcol[s + 1:], zrow], axis=0))
+                halos += [left, right]
+                out_ref[i * pix * c:(i + 1) * pix * c] += jax.lax.dot_general(
+                    grp[s:s + m], bgrp,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [pix*C, pix*F]
+            out_ref[3 * pix * c:] += jax.lax.dot_general(
+                jnp.concatenate(halos, axis=1), bgrp,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [6C, pix*F]
+            continue
+        left, right = _rolled_pair(ext, c, w, pix)
         for i, dy in enumerate((-1, 0, 1)):
             lw, rw = _im2col_dy_windows(left, right, dy, th, c, w, pix)
             a = jnp.concatenate([lw, rw], axis=1).astype(mm)
@@ -884,7 +1045,18 @@ def _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, seed_ref,
 
 
 def _fold_wgrad(dw_big: jax.Array, c: int, f: int, pix: int) -> jax.Array:
-    """[3*(pix+2)C, pix*F] -> [3, 3, C, F] (transpose of expand_weights)."""
+    """[3*(pix+2)C, pix*F] -> [3, 3, C, F] (transpose of the active
+    expansion: _placement for 'roll', _placement_shift + halo rows for
+    'shift' — both forms share the same dw_big row count)."""
+    if _IM2COL == "shift":
+        t = jnp.asarray(_placement_shift(c, pix), dw_big.dtype)
+        own = dw_big[:3 * pix * c].reshape(3, pix * c * pix, f)
+        out = jnp.einsum("kx,ykf->yxf", t, own)        # [3, 3c, f]
+        halo = dw_big[3 * pix * c:].reshape(3, 2 * c, pix, f)
+        out = out.reshape(3, 3, c, f)
+        out = out.at[:, 0].add(halo[:, :c, 0])         # left -> dx=0
+        out = out.at[:, 2].add(halo[:, c:, pix - 1])   # right -> dx=2
+        return out
     kdy = (pix + 2) * c
     t = jnp.asarray(_placement(c, pix), dw_big.dtype)  # [kdy*pix, 3c]
     d = dw_big.reshape(3, kdy, pix, f).reshape(3, kdy * pix, f)
@@ -1047,7 +1219,7 @@ def _bwd(train, interpret, drop, res, cts):
 
     a1l, b1l = _affine(params.scale1, params.bias1, stats.mean1, stats.var1, w)
     pix2 = choose_pix(w, f, f)
-    wflip2 = expand_weights(
+    wflip2 = _expand1(
         jnp.flip(params.w2, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype),
         pix2)
     dd2 = _dgrad(dg2, wflip2, mask2, c=f, f=f, w=w, h=hh, pix=pix2,
@@ -1074,7 +1246,7 @@ def _bwd(train, interpret, drop, res, cts):
         for xi, wi in ((xa, params.w1[:, :, :ca]), (xb, params.w1[:, :, ca:])):
             ci = xi.shape[-1]
             pixi = choose_pix(w, ci, f)
-            wflip = expand_weights(
+            wflip = _expand1(
                 jnp.flip(wi, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype),
                 pixi)
             dxi2 = _dgrad(dh2, wflip, None, c=ci, f=f, w=w, h=hh, pix=pixi,
@@ -1098,7 +1270,7 @@ def _bwd(train, interpret, drop, res, cts):
         dx, dw1 = stem_vjp(_unpack(dh2, w, f).astype(jnp.float32))
     else:
         pix1 = choose_pix(w, cin, f)
-        wflip1 = expand_weights(
+        wflip1 = _expand1(
             jnp.flip(params.w1, axis=(0, 1)).transpose(0, 1, 3, 2).astype(
                 dtype), pix1)
         dx2 = _dgrad(dh2, wflip1, None, c=cin, f=f, w=w, h=hh, pix=pix1,
@@ -1154,7 +1326,7 @@ def _plain_fwd_packed(x, w, bvec, interpret):
     f = w.shape[-1]
     dtype = x.dtype
     pix = choose_pix(wimg, c, f)
-    wbig = expand_weights(w.astype(dtype), pix)
+    wbig = _expand1(w.astype(dtype), pix)
     h2, _ = _conv_stats(_pack(x), wbig, jnp.tile(bvec.astype(jnp.float32),
                                                  wimg),
                         c=c, f=f, h=hh, w=wimg, pix=pix, want_stats=False,
@@ -1196,7 +1368,7 @@ def _plain_bwd(interpret, res, dy):
     dy2 = _pack(dy).astype(dtype)
 
     pix1 = choose_pix(wimg, cin, f)
-    wflip = expand_weights(
+    wflip = _expand1(
         jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype), pix1)
     dx2 = _dgrad(dy2, wflip, None, c=cin, f=f, w=wimg, h=hh, pix=pix1,
                  dtype=dtype, interpret=interpret)

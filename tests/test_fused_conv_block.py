@@ -143,6 +143,85 @@ def test_dual_input_vjp_matches_autodiff(ca, cb, f, with_mask):
         assert np.max(np.abs(a - b)) < 1e-4 * gscale + 1e-6, name
 
 
+class TestShiftIm2col:
+    """HPFG_IM2COL=shift: the group-reshape/sublane-halo im2col construction
+    (no lane rolls, packed [M, 6C] halo matmul) must be numerically
+    interchangeable with the validated roll form — forward, custom VJP,
+    the C=1 stem and the plain packed conv all reuse _conv_rows."""
+
+    @pytest.fixture(autouse=True)
+    def _shift_mode(self):
+        from hpfg_tpu.ops.pallas import conv_block as cb
+
+        cb.set_im2col_form("shift")
+        yield
+        cb.set_im2col_form("roll")
+
+    @pytest.mark.parametrize("c,f", [(1, 16), (16, 16), (16, 32), (64, 64)])
+    def test_forward_and_vjp_match_reference(self, c, f):
+        params = _params(c, f)
+        x = jnp.asarray(rng_np.normal(size=(2, 16, 16, c)), jnp.float32)
+        mask = jnp.asarray((rng_np.random((2, 16, 16, f)) > 0.3) / 0.7,
+                           jnp.float32)
+        pm = mask.reshape(2, 16, -1)
+        y_ref, st_ref = conv_block_reference(x, params, mask, True, None)
+        y, _, _, st = _forward(x, params, pm, None, True, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-3)
+        for a, b in zip(st, st_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3)
+
+        dy = jnp.asarray(rng_np.normal(size=(2, 16, 16, f)), jnp.float32)
+        gx_r, gp_r = jax.grad(
+            lambda x, p: jnp.sum(
+                conv_block_reference(x, p, mask, True, None)[0] * dy),
+            argnums=(0, 1))(x, params)
+        gx_f, gp_f = jax.grad(
+            lambda x, p: jnp.sum(fused_conv_block(
+                x, p, pm, None, True, True, None, None)[0] * dy),
+            argnums=(0, 1))(x, params)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                                   atol=1e-4, rtol=1e-3)
+        gscale = max(float(jnp.max(jnp.abs(getattr(gp_r, n))))
+                     for n in params._fields)
+        for name in params._fields:
+            a = np.asarray(getattr(gp_r, name))
+            b = np.asarray(getattr(gp_f, name))
+            assert np.max(np.abs(a - b)) < 1e-4 * gscale + 1e-6, name
+
+    def test_plain_conv_matches_oracle(self):
+        from hpfg_tpu.ops.pallas.conv_block import (_conv3x3,
+                                                    fused_conv3x3_plain)
+
+        g = np.random.default_rng(11)
+        x = jnp.asarray(g.normal(size=(2, 16, 16, 16)), jnp.float32)
+        w = jnp.asarray(g.normal(size=(3, 3, 16, 16)) * 0.2, jnp.float32)
+        bias = jnp.asarray(g.normal(size=(16,)) * 0.1, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(fused_conv3x3_plain(x, w, bias, True)),
+            np.asarray(_conv3x3(x, w) + bias), atol=1e-3)
+        got = jax.grad(lambda x, w, b: jnp.sum(
+            fused_conv3x3_plain(x, w, b, True) ** 2),
+            argnums=(0, 1, 2))(x, w, bias)
+        want = jax.grad(lambda x, w, b: jnp.sum((_conv3x3(x, w) + b) ** 2),
+                        argnums=(0, 1, 2))(x, w, bias)
+        for a, b_, name in zip(got, want, ("dx", "dw", "db")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-3, rtol=1e-3, err_msg=name)
+
+    def test_dual_input_falls_back_to_roll(self):
+        """The cat kernel has no shift form; the pair path must stay exact
+        with the flag on (x2_ref branch ignores the flag)."""
+        params, xa, xb, _, _ = _dual_data(16, 16, 16, seed=77)
+        xcat = jnp.concatenate([xa, xb], axis=-1)
+        y_ref, _ = conv_block_reference(xcat, params, None, True, None)
+        y, _, _, _ = _forward((xa, xb), params, None, None, True,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-3)
+
+
 def test_supported_shapes():
     assert supported(224, 224, 16, 16)
     assert supported(224, 224, 1, 16)
