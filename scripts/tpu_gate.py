@@ -91,6 +91,102 @@ def gate_one(cfg_path: str) -> dict:
             "compile_s": round(time.perf_counter() - t0, 1)}
 
 
+def _nmax(a) -> float:
+    return float(np.max(np.abs(np.asarray(a, dtype=np.float32))))
+
+
+def _cmp(name: str, got, want, rel: float = 2e-2) -> dict:
+    """Normalized max-abs-diff check: Mosaic vs interpret of the SAME
+    program differ only by MXU/accumulation rounding (~bf16 scale); a real
+    kernel bug (halo misalignment, wrong mask lane, bad K-pass packing)
+    produces O(1) errors. Tolerance is relative to the oracle's scale."""
+    g, w = jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)
+    err = max(_nmax(jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32))
+              for a, b in zip(g, w))
+    scale = max(1e-3, max(_nmax(b) for b in w))
+    return {"check": name, "ok": bool(err <= rel * scale),
+            "max_abs_err": round(err, 6), "scale": round(scale, 3)}
+
+
+def numeric_checks() -> list[dict]:
+    """Execute (not just compile) each Pallas kernel family on the real
+    backend and compare against the interpret-mode lowering of the same
+    call. Compile-only gating proved Mosaic *lowers*; this proves it
+    *computes* — a silently-wrong kernel (the failure class the CPU suite
+    can never see) fails here at tiny-shape cost (~seconds + a few 26 ms
+    readbacks). Respects HPFG_IM2COL/_FUSED_* env flags, so the recovery
+    chain's flag runs validate exactly the gated code paths."""
+    from hpfg_tpu.ops.pallas import conv_block as cb
+    from hpfg_tpu.ops.pallas.window_attention import window_attention
+
+    g = np.random.default_rng(7)
+
+    def arr(*s):
+        return jnp.asarray(g.normal(size=s) * 0.2, jnp.float32)
+
+    def params(c, f):
+        return cb.ConvBlockParams(
+            w1=arr(3, 3, c, f), b1=arr(f), scale1=1.0 + 0.1 * arr(f),
+            bias1=0.1 * arr(f), w2=arr(3, 3, f, f), b2=arr(f),
+            scale2=1.0 + 0.1 * arr(f), bias2=0.1 * arr(f))
+
+    checks = []
+
+    # 1. single-input fused ConvBlock, train mode + in-kernel hash dropout,
+    #    fwd + custom-VJP grads (covers the HPFG_IM2COL form under grad)
+    p, x = params(32, 32), arr(2, 16, 16, 32)
+    seed = jnp.float32(12345.0)
+
+    def run1(interp):
+        def loss(x, p):
+            y, st = cb.fused_conv_block(x, p, None, seed, True, interp,
+                                        0.8, None)
+            return jnp.sum(y ** 2) + jnp.sum(st.mean1) + jnp.sum(st.var2)
+        l, grads = jax.value_and_grad(loss, argnums=(0, 1))(x, p)
+        return (l,) + grads
+    checks.append(_cmp("convblock_single+vjp", run1(False), run1(True)))
+
+    # 2. dual-input (UpBlock concat-fold) fwd
+    pa, xa, xb = params(32, 16), arr(2, 16, 16, 16), arr(2, 16, 16, 16)
+    checks.append(_cmp(
+        "convblock_dual",
+        cb.fused_conv_block((xa, xb), pa, None, None, True, False, None,
+                            None)[0],
+        cb.fused_conv_block((xa, xb), pa, None, None, True, True, None,
+                            None)[0]))
+
+    # 3. C=1 stem path (in-kernel lane expand)
+    p1, x1 = params(1, 16), arr(2, 16, 16, 1)
+    checks.append(_cmp(
+        "convblock_stem_c1",
+        cb.fused_conv_block(x1, p1, None, None, True, False, None, None)[0],
+        cb.fused_conv_block(x1, p1, None, None, True, True, None, None)[0]))
+
+    # 4. plain packed conv (stem/1x1/head dispatch) fwd + grads
+    wp, bp, xp = arr(3, 3, 16, 16), arr(16), arr(2, 16, 16, 16)
+
+    def run4(interp):
+        def loss(x, w, b):
+            return jnp.sum(cb.fused_conv3x3_plain(x, w, b, interp) ** 2)
+        l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(xp, wp, bp)
+        return (l,) + grads
+    checks.append(_cmp("plain_conv+vjp", run4(False), run4(True)))
+
+    # 5. fused window attention fwd + custom-VJP grads
+    q, k, v = arr(8, 49, 32), arr(8, 49, 32), arr(8, 49, 32)
+    bias, wmask = arr(2, 49, 49), jnp.zeros((8, 49, 49), jnp.float32)
+
+    def run5(interp):
+        def loss(q, k, v, bias):
+            return jnp.sum(window_attention(q, k, v, bias, wmask, heads=2,
+                                            interpret=interp) ** 2)
+        l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(q, k, v,
+                                                                  bias)
+        return (l,) + grads
+    checks.append(_cmp("window_attention+vjp", run5(False), run5(True)))
+    return checks
+
+
 def main() -> int:
     results, ok = [], True
     platform = jax.devices()[0].platform
@@ -106,7 +202,19 @@ def main() -> int:
         print(f"[gate] -> {'OK' if res['ok'] else 'FAIL'} "
               f"{res.get('compile_s', '')}", flush=True)
         results.append(res)
-    artifact = {"ok": ok, "platform": platform,
+    print("[gate] numeric spot checks (Mosaic vs interpret) ...", flush=True)
+    try:
+        numeric = numeric_checks()
+    except Exception as e:  # noqa: BLE001 — a crash here IS a gate failure
+        numeric = [{"check": "numeric_stage", "ok": False,
+                    "error": f"{type(e).__name__}: {e}",
+                    "traceback": traceback.format_exc()[-2000:]}]
+    for c in numeric:
+        print(f"[gate] numeric {c['check']}: "
+              f"{'OK' if c['ok'] else 'FAIL'} {c.get('max_abs_err', '')}",
+              flush=True)
+        ok = ok and c["ok"]
+    artifact = {"ok": ok, "platform": platform, "numeric": numeric,
                 "n_devices": len(jax.devices()),
                 "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
                 "results": results}

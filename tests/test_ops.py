@@ -170,3 +170,57 @@ class TestLayers:
         expected = torch.nn.AdaptiveAvgPool2d((4, 4))(tx).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
 
+
+
+class TestMaxPoolVariants:
+    """The three HPFG_POOL lowerings of max_pool_2x2 are the same function
+    (max is associative); they differ only in which backward XLA emits.
+    Pin value AND gradient equality on continuous data (ties are
+    measure-zero) plus the odd-size nn.max_pool fallback."""
+
+    def _variants(self, monkeypatch, x):
+        import flax.linen as fnn
+
+        from hpfg_tpu.models import layers
+
+        outs, grads = {}, {}
+        for impl in ("pairwise", "sliced", "reshape"):
+            monkeypatch.setattr(layers, "_POOL_IMPL", impl)
+            outs[impl] = np.asarray(layers.max_pool_2x2(x))
+            grads[impl] = np.asarray(jax.grad(
+                lambda t: jnp.sum(jnp.sin(layers.max_pool_2x2(t))))(x))
+        ref = np.asarray(fnn.max_pool(x, (2, 2), strides=(2, 2)))
+        return outs, grads, ref
+
+    def test_value_and_grad_agree(self, np_rng, monkeypatch):
+        x = jnp.asarray(np_rng.normal(size=(2, 8, 12, 5)), jnp.float32)
+        outs, grads, ref = self._variants(monkeypatch, x)
+        for impl in ("pairwise", "sliced", "reshape"):
+            np.testing.assert_array_equal(outs[impl], ref, err_msg=impl)
+            np.testing.assert_allclose(grads[impl], grads["pairwise"],
+                                       atol=1e-6, err_msg=impl)
+        # every input cell contributes to exactly one 2x2 window; with no
+        # ties exactly one cell per window carries the full cotangent
+        nz = np.count_nonzero(grads["pairwise"])
+        assert nz == ref.size
+
+    def test_odd_size_falls_back(self, np_rng, monkeypatch):
+        import flax.linen as fnn
+
+        from hpfg_tpu.models import layers
+
+        x = jnp.asarray(np_rng.normal(size=(1, 7, 9, 3)), jnp.float32)
+        for impl in ("pairwise", "sliced", "reshape"):
+            monkeypatch.setattr(layers, "_POOL_IMPL", impl)
+            np.testing.assert_array_equal(
+                np.asarray(layers.max_pool_2x2(x)),
+                np.asarray(fnn.max_pool(x, (2, 2), strides=(2, 2))),
+                err_msg=impl)
+
+    def test_unknown_impl_raises(self, np_rng, monkeypatch):
+        from hpfg_tpu.models import layers
+
+        monkeypatch.setattr(layers, "_POOL_IMPL", "bogus")
+        x = jnp.asarray(np_rng.normal(size=(1, 4, 4, 2)), jnp.float32)
+        with pytest.raises(ValueError, match="HPFG_POOL"):
+            layers.max_pool_2x2(x)
