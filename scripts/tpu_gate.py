@@ -96,16 +96,21 @@ def _nmax(a) -> float:
 
 
 def _cmp(name: str, got, want, rel: float = 2e-2) -> dict:
-    """Normalized max-abs-diff check: Mosaic vs interpret of the SAME
-    program differ only by MXU/accumulation rounding (~bf16 scale); a real
-    kernel bug (halo misalignment, wrong mask lane, bad K-pass packing)
-    produces O(1) errors. Tolerance is relative to the oracle's scale."""
+    """Normalized max-abs-diff check, PER LEAF: Mosaic vs interpret of the
+    SAME program differ only by MXU/accumulation rounding (~bf16 scale); a
+    real kernel bug (halo misalignment, wrong mask lane, bad K-pass packing)
+    produces O(1) errors. Per-leaf scaling matters: the loss leaf is O(1e4)
+    while grad leaves are O(1) — one shared scale would let an O(1) grad
+    error pass."""
     g, w = jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)
-    err = max(_nmax(jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32))
-              for a, b in zip(g, w))
-    scale = max(1e-3, max(_nmax(b) for b in w))
-    return {"check": name, "ok": bool(err <= rel * scale),
-            "max_abs_err": round(err, 6), "scale": round(scale, 3)}
+    worst, werr, wscale = 0.0, 0.0, 0.0
+    for a, b in zip(g, w):
+        err = _nmax(jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32))
+        scale = max(1e-3, _nmax(b))
+        if err / scale >= worst:
+            worst, werr, wscale = err / scale, err, scale
+    return {"check": name, "ok": bool(worst <= rel),
+            "max_abs_err": round(werr, 6), "scale": round(wscale, 3)}
 
 
 def numeric_checks() -> list[dict]:
@@ -145,6 +150,19 @@ def numeric_checks() -> list[dict]:
         l, grads = jax.value_and_grad(loss, argnums=(0, 1))(x, p)
         return (l,) + grads
     checks.append(_cmp("convblock_single+vjp", run1(False), run1(True)))
+
+    # 1b. same block in bf16 — the production dtype: bf16 rows tile (16,128)
+    #     vs fp32's (8,128), so the shift-form group reshape / halo slices
+    #     lower through different Mosaic retile paths
+    xb16 = x.astype(jnp.bfloat16)
+    pb16 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if getattr(a, "ndim", 0) else a, p)
+
+    def run1b(interp):
+        y, st = cb.fused_conv_block(xb16, pb16, None, seed, True, interp,
+                                    0.8, None)
+        return y, st.mean1, st.var2
+    checks.append(_cmp("convblock_single_bf16", run1b(False), run1b(True)))
 
     # 2. dual-input (UpBlock concat-fold) fwd
     pa, xa, xb = params(32, 16), arr(2, 16, 16, 16), arr(2, 16, 16, 16)
@@ -190,6 +208,10 @@ def numeric_checks() -> list[dict]:
 def main() -> int:
     results, ok = [], True
     platform = jax.devices()[0].platform
+    if platform == "cpu":
+        # XLA:CPU AOT cache entries reload with mismatched machine features
+        # and can SIGILL (CLAUDE.md); the cache is safe only for TPU.
+        jax.config.update("jax_compilation_cache_dir", None)
     for cfg_path in GATE_CONFIGS:
         print(f"[gate] {cfg_path} ...", flush=True)
         try:
