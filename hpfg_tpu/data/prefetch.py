@@ -27,6 +27,11 @@ from hpfg_tpu.parallel.mesh import shard_batch
 _SENTINEL = object()
 
 
+# The class-id batch keys across every loader/algorithm (data/loader.py,
+# train/algorithms/*): 'label' and HPFG's second labeled batch 'label1'.
+LABEL_KEYS = ("label", "label1")
+
+
 def compress_wire(batch: dict) -> dict:
     """Shrink the H2D wire format: float32/64 → float16, small non-negative
     int labels → uint8 (class ids incl. the 255 ignore value fit exactly).
@@ -38,17 +43,20 @@ def compress_wire(batch: dict) -> dict:
     PCIe traffic). ``restore_wire_dtypes`` undoes it inside the jitted step
     (a free on-device cast).
 
-    Int compression is decided STATICALLY by key name (``label`` in the
-    key), never from per-batch values: a value-dependent dtype would flip
-    between uint8 and int32 across batches and silently retrigger the
-    multi-minute recompile of the donated train step. Class-id labels
-    outside [0, 255] are a schema error and raise."""
+    Int compression is decided STATICALLY by key name (the class-id batch
+    keys, LABEL_KEYS), never from per-batch values: a value-dependent dtype
+    would flip between uint8 and int32 across batches and silently
+    retrigger the multi-minute recompile of the donated train step. A
+    substring match ('label' in k) would also be wrong: an unrelated int
+    field named e.g. 'num_labeled' or 'labeled_idx' must pass through
+    uncompressed, not crash the range check. Class-id labels outside
+    [0, 255] are a schema error and raise."""
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
         if v.dtype in (np.float64, np.float32):
             out[k] = v.astype(np.float16)
-        elif v.dtype in (np.int64, np.int32) and "label" in k.lower():
+        elif v.dtype in (np.int64, np.int32) and k in LABEL_KEYS:
             if v.size and (v.min() < 0 or v.max() > 255):
                 raise ValueError(
                     f"compress_wire: int field {k!r} has values outside "

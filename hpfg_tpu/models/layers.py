@@ -324,6 +324,11 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     Ties distribute gradient evenly instead of picking one element —
     measure-zero for continuous activations."""
     b, h, w, c = x.shape
+    if _POOL_IMPL not in ("pairwise", "sliced", "reshape"):
+        # validate BEFORE the odd-size fallback: a typo'd HPFG_POOL must
+        # error on every call, not only when H/W happen to be even
+        raise ValueError(f"unknown HPFG_POOL={_POOL_IMPL!r} "
+                         "(pairwise | sliced | reshape)")
     if h % 2 or w % 2:
         return nn.max_pool(x, (2, 2), strides=(2, 2))
     if _POOL_IMPL == "pairwise":
@@ -338,9 +343,6 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
         r = jnp.maximum(xr[:, :, 0], xr[:, :, 1])
         rr = r.reshape(b, h // 2, w // 2, 2, c)
         return jnp.maximum(rr[:, :, :, 0], rr[:, :, :, 1])
-    if _POOL_IMPL != "reshape":
-        raise ValueError(f"unknown HPFG_POOL={_POOL_IMPL!r} "
-                         "(pairwise | sliced | reshape)")
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return jnp.max(x, axis=(2, 4))
 

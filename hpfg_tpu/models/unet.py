@@ -88,12 +88,12 @@ class UNetDecoder(nn.Module):
             from hpfg_tpu.ops.pallas import conv_block as cb
 
             p = self.get_variable("params", "out_conv")
-            wpad = cb.pad_channels(p["kernel"], axis=3)
-            bpad = cb.pad_channels(p["bias"], axis=0)
-            y = cb.fused_conv3x3_plain(x.astype(self.dtype),
-                                       wpad.astype(self.dtype), bpad,
-                                       jax.default_backend() != "tpu")
-            return y[..., :f]
+            # fused_conv3x3_plain pads C/F to the 16-lane alignment and
+            # slices the output back itself — no caller-side padding
+            return cb.fused_conv3x3_plain(x.astype(self.dtype),
+                                          p["kernel"].astype(self.dtype),
+                                          p["bias"],
+                                          jax.default_backend() != "tpu")
         return self.out_conv(x)
 
 

@@ -59,8 +59,9 @@ BN_EPS = 1e-5
 #             operand: 4 MXU K-passes per chunk instead of 6, zero lane
 #             rolls, zero full-width concats, bf16 end-to-end.
 # A/B candidate for the 15.1 ms/step of conv._fused the r3 profile shows
-# against a 2-3 ms HBM roofline (BENCH_NOTES.md). Dual-input (concat-fold)
-# and wgrad kernels always use 'roll'.
+# against a 2-3 ms HBM roofline (BENCH_NOTES.md). The flag drives fwd conv,
+# dgrad AND wgrad (plus _fold_wgrad's matching fold); only the dual-input
+# (concat-fold) path is pinned to 'roll'.
 _IM2COL = _os.environ.get("HPFG_IM2COL", "roll")
 if _IM2COL not in ("roll", "shift"):
     raise ValueError(f"unknown HPFG_IM2COL={_IM2COL!r} (roll | shift)")

@@ -53,7 +53,13 @@ class CheckpointManager:
     def save_rotating(self, state: Any) -> None:
         """Non-blocking crash-recovery save alternating last_a/last_b."""
         if not hasattr(self, "_rot_idx"):
-            self._rot_idx = 0
+            # First write targets the OLDER committed slot: after a restart
+            # (fresh manager, resumed from the newest slot) starting at a
+            # fixed index could delete the newest recovery point before its
+            # replacement commits — the exact window the rotation closes.
+            mtimes = [os.path.getmtime(self._path(t)) if self.exists(t)
+                      else -1.0 for t in self._ROTATE_TAGS]
+            self._rot_idx = 0 if mtimes[0] <= mtimes[1] else 1
         tag = self._ROTATE_TAGS[self._rot_idx]
         self._rot_idx ^= 1
         self.save(tag, state)

@@ -205,7 +205,31 @@ def numeric_checks() -> list[dict]:
     return checks
 
 
+def _require_live_device(deadline_s: float = 300.0) -> None:
+    """Fail fast (clear message, rc=2) instead of hanging forever when the
+    TPU tunnel is unreachable — jax.devices()/the first Execute block
+    indefinitely on a dead tunnel, which would wedge the unattended
+    recovery chain that runs this gate first (same guard as bench.py)."""
+    import threading
+
+    alive = threading.Event()
+
+    def probe():
+        x = jnp.ones((8, 8))
+        float(np.asarray(x @ x)[0, 0])  # compile + execute + readback
+        alive.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(deadline_s)
+    if not alive.is_set():
+        print(f"tpu_gate: no response from the accelerator within "
+              f"{deadline_s:.0f}s — backend/tunnel down?", file=sys.stderr)
+        os._exit(2)
+
+
 def main() -> int:
+    _require_live_device()
     results, ok = [], True
     platform = jax.devices()[0].platform
     if platform == "cpu":

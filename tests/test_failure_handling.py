@@ -63,3 +63,42 @@ class TestPeriodicCheckpoint:
         fresh = algo.init_state(jax.random.PRNGKey(0))
         restored = trainer.ckpt.restore("last", fresh)
         assert int(np.asarray(restored.step)) == 10
+
+
+class TestRotatingCheckpoint:
+    def _mgr(self, d):
+        from hpfg_tpu.utils.checkpoint import CheckpointManager
+        return CheckpointManager(str(d))
+
+    def test_restart_overwrites_older_slot_first(self, tmp_path):
+        """After a restart (fresh manager), the first rotating save must
+        target the OLDER committed slot — starting at a fixed index would
+        delete the newest recovery point before its replacement commits,
+        re-opening the crash window the rotation exists to close."""
+        import time as _time
+
+        import jax.numpy as jnp
+
+        d = tmp_path / "ckpt"
+        m1 = self._mgr(d)
+        m1.save_rotating({"step": jnp.asarray(1)})   # -> last_a
+        m1.wait()
+        _time.sleep(0.05)  # distinct mtimes
+        m1.save_rotating({"step": jnp.asarray(2)})   # -> last_b (newest)
+        m1.wait()
+        assert m1.latest_resume_tag() == "last_b"
+
+        m2 = self._mgr(d)  # fresh manager = process restart
+        m2.save_rotating({"step": jnp.asarray(3)})   # must overwrite last_a
+        m2.wait()
+        restored = m2.restore("last_b")
+        assert int(np.asarray(restored["step"])) == 2  # newest survived
+        assert int(np.asarray(m2.restore("last_a")["step"])) == 3
+
+    def test_fresh_directory_starts_at_a(self, tmp_path):
+        import jax.numpy as jnp
+
+        m = self._mgr(tmp_path / "ckpt2")
+        m.save_rotating({"step": jnp.asarray(7)})
+        m.wait()
+        assert m.exists("last_a") and not m.exists("last_b")

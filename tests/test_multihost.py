@@ -6,6 +6,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 import pytest
 
@@ -59,8 +60,11 @@ def _join_all(procs):
                for i, p in enumerate(procs)]
     for t in threads:
         t.start()
+    # one shared absolute deadline: per-thread join(_DEADLINE) would stack
+    # to N x _DEADLINE wall-clock when several workers hang
+    deadline = time.monotonic() + _DEADLINE
     for t in threads:
-        t.join(timeout=_DEADLINE)
+        t.join(timeout=max(0.0, deadline - time.monotonic()))
     for p, out in zip(procs, outs):
         if p.poll() is None:
             p.kill()

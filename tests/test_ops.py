@@ -224,3 +224,7 @@ class TestMaxPoolVariants:
         x = jnp.asarray(np_rng.normal(size=(1, 4, 4, 2)), jnp.float32)
         with pytest.raises(ValueError, match="HPFG_POOL"):
             layers.max_pool_2x2(x)
+        # odd sizes must ALSO error (not silently take the fallback)
+        x_odd = jnp.asarray(np_rng.normal(size=(1, 5, 7, 2)), jnp.float32)
+        with pytest.raises(ValueError, match="HPFG_POOL"):
+            layers.max_pool_2x2(x_odd)

@@ -153,6 +153,28 @@ class TestWindowAttention:
         frac = float((np.asarray(dm) == 0).mean())
         assert 0.03 < frac < 0.25
 
+    def test_in_kernel_attn_dropout_multiblock(self):
+        # bn=19 > WINDOW_BLOCK=16 -> two grid programs, so the pid>0 arm of
+        # the hash row ids (pid*blk + win) is checked against the oracle's
+        # block decomposition; the single-block tests (bn=6) never reach it
+        # and the production path (hundreds of windows at 224²) always does
+        from hpfg_tpu.ops.pallas.window_attention import (
+            WINDOW_BLOCK, attn_drop_mask_reference)
+
+        bn = WINDOW_BLOCK + 3
+        q, k, v, bias, mask = self._data(bn=bn, seed=11)
+        keep, seed = 0.9, 4321.0
+        dm = attn_drop_mask_reference(int(seed), bn, 2, 9, keep)
+        got = window_attention(q, k, v, bias, mask, heads=2, interpret=True,
+                               drop=keep, seed=jnp.float32(seed))
+        want = self._dropout_oracle(q, k, v, bias, mask, dm, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-4, atol=5e-5)
+        # masks must differ across blocks (a pid-insensitive hash would
+        # repeat block 0's pattern)
+        dm_np = np.asarray(dm)
+        assert not np.array_equal(dm_np[:3], dm_np[WINDOW_BLOCK:])
+
     def test_in_kernel_attn_dropout_grad(self):
         from hpfg_tpu.ops.pallas.window_attention import (
             attn_drop_mask_reference)

@@ -74,7 +74,16 @@ class TestDevicePrefetcher:
         from hpfg_tpu.data.prefetch import compress_wire
 
         with pytest.raises(ValueError, match="outside"):
-            compress_wire({"big_label": np.array([0, 70000], np.int64)})
+            compress_wire({"label": np.array([0, 70000], np.int64)})
+
+    def test_wire_compression_only_touches_class_id_keys(self):
+        # int fields that merely CONTAIN 'label' (e.g. a global sample
+        # index) are not class ids: they must pass through uncompressed
+        # instead of crashing the [0, 255] range check
+        from hpfg_tpu.data.prefetch import compress_wire
+
+        wire = compress_wire({"labeled_idx": np.array([0, 70000], np.int64)})
+        assert wire["labeled_idx"].dtype == np.int64
 
     def test_prefetcher_compresses_by_default(self):
         pf = DevicePrefetcher(_batches(1), get_mesh(), depth=2)
