@@ -24,7 +24,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hpfg_tpu.models.layers import DropPath, ProjectionNeck
+from hpfg_tpu.models.layers import (DropPath, ProjectionNeck,
+                                    trunc_normal_init)
+
+# Reference init (model/cmt.py:235-249 _init_weights, self.apply'd):
+# Linear trunc_normal(std=.02) + zero bias; Conv2d kaiming_normal
+# mode=fan_out (= variance_scaling(2, fan_out, normal)) + zero bias;
+# BN/LN (1, 0). Flax zero-bias defaults already match.
+_KI_DENSE = trunc_normal_init(0.02)
+_KI_CONV = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 from hpfg_tpu.models.segformer import SegFormerHead
 
 
@@ -44,16 +52,18 @@ class CMTMlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Conv(self.hidden, (1, 1), dtype=self.dtype, name="conv1")(x)
+        x = nn.Conv(self.hidden, (1, 1), kernel_init=_KI_CONV,
+                    dtype=self.dtype, name="conv1")(x)
         x = jax.nn.gelu(x, approximate=False)
         x = _bn(x, train, "bn1").astype(self.dtype)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
         y = nn.Conv(self.hidden, (3, 3), padding="SAME",
-                    feature_group_count=self.hidden, dtype=self.dtype,
-                    name="proj")(x)
+                    feature_group_count=self.hidden, kernel_init=_KI_CONV,
+                    dtype=self.dtype, name="proj")(x)
         x = jax.nn.gelu(y + x, approximate=False)
         x = _bn(x, train, "proj_bn").astype(self.dtype)
-        x = nn.Conv(self.out, (1, 1), dtype=self.dtype, name="conv2")(x)
+        x = nn.Conv(self.out, (1, 1), kernel_init=_KI_CONV,
+                    dtype=self.dtype, name="conv2")(x)
         x = _bn(x, train, "bn2").astype(self.dtype)
         return nn.Dropout(self.drop, deterministic=not train)(x)
 
@@ -78,23 +88,24 @@ class CMTAttention(nn.Module):
         scale = hd_qk ** -0.5
 
         tokens = x.reshape(b, n, c)
-        q = nn.Dense(qk_dim, use_bias=self.qkv_bias, dtype=self.dtype,
-                     name="q")(tokens)
+        q = nn.Dense(qk_dim, use_bias=self.qkv_bias, kernel_init=_KI_DENSE,
+                     dtype=self.dtype, name="q")(tokens)
         q = q.reshape(b, n, self.num_heads, hd_qk).transpose(0, 2, 1, 3)
 
         kv_in = x
         if self.sr_ratio > 1:
             kv_in = nn.Conv(self.dim, (self.sr_ratio, self.sr_ratio),
                             strides=(self.sr_ratio, self.sr_ratio),
-                            feature_group_count=self.dim, dtype=self.dtype,
+                            feature_group_count=self.dim,
+                            kernel_init=_KI_CONV, dtype=self.dtype,
                             name="sr_conv")(x)
             kv_in = _bn(kv_in, train, "sr_bn").astype(self.dtype)
         m = kv_in.shape[1] * kv_in.shape[2]
         kv_tokens = kv_in.reshape(b, m, c)
-        k = nn.Dense(qk_dim, use_bias=self.qkv_bias, dtype=self.dtype,
-                     name="k")(kv_tokens)
-        v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
-                     name="v")(kv_tokens)
+        k = nn.Dense(qk_dim, use_bias=self.qkv_bias, kernel_init=_KI_DENSE,
+                     dtype=self.dtype, name="k")(kv_tokens)
+        v = nn.Dense(self.dim, use_bias=self.qkv_bias, kernel_init=_KI_DENSE,
+                     dtype=self.dtype, name="v")(kv_tokens)
         k = k.reshape(b, m, self.num_heads, hd_qk).transpose(0, 2, 1, 3)
         v = v.reshape(b, m, self.num_heads, hd_v).transpose(0, 2, 1, 3)
 
@@ -105,7 +116,8 @@ class CMTAttention(nn.Module):
         out = jnp.einsum("bhij,bhjd->bhid", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return nn.Dense(self.dim, kernel_init=_KI_DENSE, dtype=self.dtype,
+                        name="proj")(out)
 
 
 class CMTBlock(nn.Module):
@@ -120,8 +132,8 @@ class CMTBlock(nn.Module):
     def __call__(self, x, rel_pos, train: bool):
         # local perception unit (reference Block.forward, cmt.py:112-115)
         y = nn.Conv(self.dim, (3, 3), padding="SAME",
-                    feature_group_count=self.dim, dtype=self.dtype,
-                    name="lpu")(x)
+                    feature_group_count=self.dim, kernel_init=_KI_CONV,
+                    dtype=self.dtype, name="lpu")(x)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          name="norm1")(x).astype(self.dtype)
@@ -156,8 +168,8 @@ class CMT(nn.Module):
             stride = (2, 2) if i == 0 else (1, 1)
             ksize = (7, 7) if i == 0 else (3, 3)
             x = nn.Conv(self.stem_channel, ksize, strides=stride,
-                        padding="SAME", dtype=self.dtype,
-                        name=f"stem_conv{i + 1}")(x)
+                        padding="SAME", kernel_init=_KI_CONV,
+                        dtype=self.dtype, name=f"stem_conv{i + 1}")(x)
             x = jax.nn.gelu(x, approximate=False)
             x = _bn(x, train, f"stem_norm{i + 1}").astype(self.dtype)
 
@@ -166,7 +178,8 @@ class CMT(nn.Module):
         cur = 0
         for s in range(4):
             x = nn.Conv(self.embed_dims[s], (2, 2), strides=(2, 2),
-                        dtype=self.dtype, name=f"patch_embed_{s}")(x)
+                        kernel_init=_KI_CONV, dtype=self.dtype,
+                        name=f"patch_embed_{s}")(x)
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                              name=f"patch_norm_{s}")(x).astype(self.dtype)
             n = x.shape[1] * x.shape[2]

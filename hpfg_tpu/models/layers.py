@@ -214,12 +214,16 @@ class ConvBlock(nn.Module):
         if self._use_fused(x):
             return self._fused(x, train)
         x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                    kernel_init=TORCH_KERNEL_INIT,
+                    bias_init=torch_bias_init(9 * x.shape[-1]),
                     name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=NORM_DTYPE, name="bn1")(x)
         x = leaky_relu(x)
         x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
         x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                    kernel_init=TORCH_KERNEL_INIT,
+                    bias_init=torch_bias_init(9 * self.features),
                     name="conv2")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=NORM_DTYPE, name="bn2")(x)
@@ -404,6 +408,8 @@ class UpBlock(nn.Module):
                 jax.default_backend() != "tpu")
         else:
             x = nn.Conv(self.skip_features, (1, 1), dtype=self.dtype,
+                        kernel_init=TORCH_KERNEL_INIT,
+                        bias_init=torch_bias_init(x.shape[-1]),
                         name="conv1x1")(x)
         target = (skip.shape[1], skip.shape[2])
         if not self.is_initializing() and fused_pair_dispatch(
@@ -439,16 +445,24 @@ class ProjectionNeck(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         g = global_avg_pool(x.astype(self.dtype))
-        g = nn.Dense(self.hid_dim, dtype=self.dtype, name="mlp1")(g)
+        g = nn.Dense(self.hid_dim, dtype=self.dtype,
+                     kernel_init=TORCH_KERNEL_INIT,
+                     bias_init=torch_bias_init(g.shape[-1]), name="mlp1")(g)
         g = jax.nn.relu(g)
-        g = nn.Dense(self.out_dim, dtype=self.dtype, name="mlp2")(g)
+        g = nn.Dense(self.out_dim, dtype=self.dtype,
+                     kernel_init=TORCH_KERNEL_INIT,
+                     bias_init=torch_bias_init(self.hid_dim), name="mlp2")(g)
 
         d = x
         if self.s:
             d = adaptive_avg_pool(d, (self.s, self.s))
-        d = nn.Conv(self.hid_dim, (1, 1), dtype=self.dtype, name="conv1")(d)
+        d = nn.Conv(self.hid_dim, (1, 1), dtype=self.dtype,
+                    kernel_init=TORCH_KERNEL_INIT,
+                    bias_init=torch_bias_init(d.shape[-1]), name="conv1")(d)
         d = jax.nn.relu(d)
-        d = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, name="conv2")(d)
+        d = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype,
+                    kernel_init=TORCH_KERNEL_INIT,
+                    bias_init=torch_bias_init(self.hid_dim), name="conv2")(d)
         d = d.reshape(d.shape[0], -1, self.out_dim)  # [B, s*s, out_dim]
         return g, d
 
@@ -471,6 +485,31 @@ class DropPath(nn.Module):
 
 def trunc_normal_init(stddev: float = 0.02):
     return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0, upper=2.0)
+
+
+# torch-default parameter init: the reference's UNet family uses raw
+# nn.Conv2d/nn.Linear (model/unet.py:15-25), whose defaults are kernel
+# kaiming_uniform(a=sqrt(5)) = U(+-1/sqrt(fan_in)) and bias
+# U(+-1/sqrt(fan_in)). Flax defaults (lecun_normal kernel: ~1.73x the std;
+# zero bias) are a systematically different draw — measured as a small but
+# consistent dice deficit in the CPS training-parity study
+# (PARITY_TRAIN.md), so the torch-mirroring models init-match too.
+# variance_scaling(1/3, fan_in, uniform) has limit sqrt(3*(1/3)/fan_in)
+# = 1/sqrt(fan_in) — exactly kaiming_uniform(a=sqrt(5)).
+TORCH_KERNEL_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
+                                                     "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    """torch's default bias init, U(+-1/sqrt(fan_in)) with the WEIGHT's
+    fan_in (flax bias initializers only see the bias shape, so the caller
+    supplies it: kh*kw*cin for convs, in_features for dense)."""
+    bound = 1.0 / float(np.sqrt(max(int(fan_in), 1)))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 def sequence_to_image(x: jnp.ndarray, hw: tuple[int, int]) -> jnp.ndarray:

@@ -19,7 +19,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from hpfg_tpu.models.layers import DropPath, ProjectionNeck
+from hpfg_tpu.models.layers import (DropPath, ProjectionNeck,
+                                    TORCH_KERNEL_INIT, torch_bias_init)
+
+# The reference segformer defines a trunc_normal_ helper but never applies
+# it (no self.apply(_init_weights) anywhere in model/segformer.py) — every
+# Linear/Conv2d keeps torch defaults, mirrored here via TORCH_KERNEL_INIT
+# + torch_bias_init.
+_KI = TORCH_KERNEL_INIT
 
 MIT_SETTINGS = {
     "B0": ([32, 64, 160, 256], [2, 2, 2, 2]),
@@ -51,18 +58,24 @@ class EfficientAttention(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         hd = self.dim // self.heads
-        q = nn.Dense(self.dim, dtype=self.dtype, name="q")(x)
+        q = nn.Dense(self.dim, kernel_init=_KI, bias_init=torch_bias_init(c),
+                     dtype=self.dtype, name="q")(x)
         q = q.reshape(b, h * w, self.heads, hd).transpose(0, 2, 1, 3)
 
         kv_in = x
         if self.sr_ratio > 1:
             kv_in = nn.Conv(self.dim, (self.sr_ratio, self.sr_ratio),
                             strides=(self.sr_ratio, self.sr_ratio),
+                            kernel_init=_KI,
+                            bias_init=torch_bias_init(
+                                self.sr_ratio * self.sr_ratio * c),
                             dtype=self.dtype, name="sr")(x)
             kv_in = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                  name="norm")(kv_in).astype(self.dtype)
         n_kv = kv_in.shape[1] * kv_in.shape[2]
-        kv = nn.Dense(self.dim * 2, dtype=self.dtype, name="kv")(kv_in)
+        kv = nn.Dense(self.dim * 2, kernel_init=_KI,
+                      bias_init=torch_bias_init(kv_in.shape[-1]),
+                      dtype=self.dtype, name="kv")(kv_in)
         kv = kv.reshape(b, n_kv, 2, self.heads, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
 
@@ -72,7 +85,9 @@ class EfficientAttention(nn.Module):
         out = jnp.einsum("bhlm,bhmd->bhld", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return nn.Dense(self.dim, kernel_init=_KI,
+                        bias_init=torch_bias_init(self.dim),
+                        dtype=self.dtype, name="proj")(out)
 
 
 class MixFFN(nn.Module):
@@ -84,12 +99,17 @@ class MixFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(self.hidden, kernel_init=_KI,
+                     bias_init=torch_bias_init(x.shape[-1]),
+                     dtype=self.dtype, name="fc1")(x)
         x = nn.Conv(self.hidden, (3, 3), padding="SAME",
-                    feature_group_count=self.hidden, dtype=self.dtype,
-                    name="dwconv")(x)
+                    feature_group_count=self.hidden, kernel_init=_KI,
+                    bias_init=torch_bias_init(9),  # depthwise fan_in = kh*kw
+                    dtype=self.dtype, name="dwconv")(x)
         x = jax.nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return nn.Dense(self.dim, kernel_init=_KI,
+                        bias_init=torch_bias_init(self.hidden),
+                        dtype=self.dtype, name="fc2")(x)
 
 
 class MiTBlock(nn.Module):
@@ -124,7 +144,9 @@ class OverlapPatchEmbed(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         p = self.patch_size
         x = nn.Conv(self.dim, (p, p), strides=(self.stride, self.stride),
-                    padding=p // 2, dtype=self.dtype, name="proj")(x)
+                    padding=p // 2, kernel_init=_KI,
+                    bias_init=torch_bias_init(p * p * x.shape[-1]),
+                    dtype=self.dtype, name="proj")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
         return x.astype(self.dtype)
 
@@ -180,20 +202,22 @@ class SegFormerHead(nn.Module):
         h, w = feats[0].shape[1], feats[0].shape[2]
         outs = []
         for i, f in enumerate(feats):
-            y = nn.Dense(self.embed_dim, dtype=self.dtype,
-                         name=f"linear_c{i + 1}")(f)
+            y = nn.Dense(self.embed_dim, kernel_init=_KI,
+                         bias_init=torch_bias_init(f.shape[-1]),
+                         dtype=self.dtype, name=f"linear_c{i + 1}")(f)
             if i > 0:
                 y = _resize_half_pixel(y, (h, w))
             outs.append(y)
         x = jnp.concatenate(outs[::-1], axis=-1)
-        x = nn.Conv(self.embed_dim, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="linear_fuse")(x)
+        x = nn.Conv(self.embed_dim, (1, 1), use_bias=False, kernel_init=_KI,
+                    dtype=self.dtype, name="linear_fuse")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
         x = jax.nn.relu(x).astype(self.dtype)
         x = nn.Dropout(0.1, deterministic=not train)(x)
-        x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
-                    name="linear_pred")(x)
+        x = nn.Conv(self.num_classes, (1, 1), kernel_init=_KI,
+                    bias_init=torch_bias_init(self.embed_dim),
+                    dtype=self.dtype, name="linear_pred")(x)
         x = _resize_half_pixel(x.astype(jnp.float32), tuple(self.image_size))
         return x
 

@@ -33,7 +33,11 @@ class SSNetDecoder(nn.Module):
         self.up2 = UpBlock(ft[2], ft[2], 0.0, self.dtype)
         self.up3 = UpBlock(ft[1], ft[1], 0.0, self.dtype)
         self.up4 = UpBlock(ft[0], ft[0], 0.0, self.dtype)
+        from hpfg_tpu.models.layers import TORCH_KERNEL_INIT, torch_bias_init
+
         self.out_conv = nn.Conv(self.num_classes, (3, 3), padding="SAME",
+                                kernel_init=TORCH_KERNEL_INIT,
+                                bias_init=torch_bias_init(9 * ft[0]),
                                 dtype=self.dtype)
 
     def __call__(self, feature, train: bool):
@@ -55,14 +59,20 @@ class MLPHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        from hpfg_tpu.models.layers import TORCH_KERNEL_INIT, torch_bias_init
+
+        x = nn.Dense(self.hidden, dtype=self.dtype,
+                     kernel_init=TORCH_KERNEL_INIT,
+                     bias_init=torch_bias_init(x.shape[-1]))(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32)(x)
         if self.negative_slope:
             x = jax.nn.leaky_relu(x, self.negative_slope)
         else:
             x = jax.nn.relu(x)
-        return nn.Dense(self.out, dtype=self.dtype)(x)
+        return nn.Dense(self.out, dtype=self.dtype,
+                        kernel_init=TORCH_KERNEL_INIT,
+                        bias_init=torch_bias_init(self.hidden))(x)
 
 
 class SSNet(nn.Module):

@@ -106,8 +106,14 @@ class SwinMAE(nn.Module):
                                       name=f"layer_up{i}", **kw)
                           for i in range(n - 1)]
         self.norm_up = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+        # Reference init (model/swin_mae.py:608-618): Linear weights
+        # xavier_uniform + zero bias; mask_token normal(.02). The swin
+        # blocks shared with swinunet keep that file's trunc_normal(.02)
+        # Linear init — a documented deviation (the reference's own two
+        # files disagree; both are ~N(0, small) draws).
         self.decoder_pred = nn.Dense(
-            self.patch_size ** 2 * self.in_channels, dtype=self.dtype)
+            self.patch_size ** 2 * self.in_channels,
+            kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype)
 
     # ------------------------------------------------------------------
     def patchify(self, imgs: jnp.ndarray) -> jnp.ndarray:

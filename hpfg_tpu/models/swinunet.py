@@ -25,7 +25,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hpfg_tpu.models.layers import DropPath, ProjectionNeck, trunc_normal_init
+from hpfg_tpu.models.layers import (DropPath, ProjectionNeck,
+                                    TORCH_KERNEL_INIT, torch_bias_init,
+                                    trunc_normal_init)
+
+# Reference init (model/swinunet.py:624-634 init_weights, applied to every
+# submodule): nn.Linear weights trunc_normal(std=.02) + zero bias;
+# LayerNorm (1, 0). Conv2d layers (patch-embed proj, 1x1 head) are NOT
+# covered by init_weights and keep torch defaults.
+_DENSE_INIT = trunc_normal_init(0.02)
 
 
 @functools.lru_cache(maxsize=None)
@@ -110,6 +118,7 @@ class WindowAttention(nn.Module):
 
         windows = window_partition(x.astype(self.dtype), ws)  # [Bn, L, C]
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                       kernel_init=_DENSE_INIT,
                        dtype=self.dtype, name="qkv")(windows)
 
         # fused Pallas path (fwd + custom-VJP bwd; in-kernel hash dropout
@@ -157,7 +166,8 @@ class WindowAttention(nn.Module):
                 "bhlm,bhmd->bhld", attn.astype(self.dtype), v,
                 preferred_element_type=jnp.float32).astype(self.dtype)
             out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, self.dim)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = nn.Dense(self.dim, kernel_init=_DENSE_INIT, dtype=self.dtype,
+                       name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
         out = window_reverse(out, ws, h, w)
@@ -174,10 +184,12 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(self.hidden, kernel_init=_DENSE_INIT, dtype=self.dtype,
+                     name="fc1")(x)
         x = jax.nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
-        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(self.out, kernel_init=_DENSE_INIT, dtype=self.dtype,
+                     name="fc2")(x)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
         return x
 
@@ -224,6 +236,8 @@ class PatchEmbedding(nn.Module):
     def __call__(self, x):
         p = self.patch_size
         x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), dtype=self.dtype,
+                    kernel_init=TORCH_KERNEL_INIT,
+                    bias_init=torch_bias_init(p * p * x.shape[-1]),
                     name="proj")(x)
         if self.patch_norm:
             x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
@@ -245,8 +259,8 @@ class PatchMergingExact(nn.Module):
         x3 = x[:, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
-        x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
-                     name="reduction")(x)
+        x = nn.Dense(2 * self.dim, use_bias=False, kernel_init=_DENSE_INIT,
+                     dtype=self.dtype, name="reduction")(x)
         return x
 
 
@@ -259,8 +273,8 @@ class PatchExpanding(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
-                     name="expand")(x)
+        x = nn.Dense(2 * self.dim, use_bias=False, kernel_init=_DENSE_INIT,
+                     dtype=self.dtype, name="expand")(x)
         x = x.reshape(b, h, w, 2, 2, self.dim // 2)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * 2, w * 2,
                                                   self.dim // 2)
@@ -280,8 +294,8 @@ class FinalPatchExpanding(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         p = self.patch
-        x = nn.Dense(p * p * self.dim, use_bias=False, dtype=self.dtype,
-                     name="expand")(x)
+        x = nn.Dense(p * p * self.dim, use_bias=False, kernel_init=_DENSE_INIT,
+                     dtype=self.dtype, name="expand")(x)
         x = x.reshape(b, h, w, p, p, self.dim)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * p, w * p, self.dim)
         return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
@@ -426,7 +440,8 @@ class SwinUNetDecoder(nn.Module):
             skip = feats[len(feats) - i - 2]
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             dim = self.embed_dim * 2 ** (n - 2 - i)
-            x = nn.Dense(dim, dtype=self.dtype, name=f"skip{i}")(x)
+            x = nn.Dense(dim, kernel_init=_DENSE_INIT, dtype=self.dtype,
+                         name=f"skip{i}")(x)
             x = SwinStageUp(i, self.embed_dim, self.window_size, self.depths,
                             self.num_heads, self.mlp_ratio, self.qkv_bias,
                             self.drop_rate, self.attn_drop_rate,
@@ -438,6 +453,7 @@ class SwinUNetDecoder(nn.Module):
         x = FinalPatchExpanding(self.embed_dim, self.patch_size, self.dtype,
                                 name="final_patch_expanding")(x)
         x = nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                    kernel_init=TORCH_KERNEL_INIT,
                     dtype=self.dtype, name="head")(x)
         return x.astype(jnp.float32)
 

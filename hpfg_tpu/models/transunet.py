@@ -20,7 +20,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from hpfg_tpu.models.layers import resize_bilinear_align_corners
+from hpfg_tpu.models.layers import (TORCH_KERNEL_INIT,
+                                    resize_bilinear_align_corners,
+                                    torch_bias_init)
+
+# The reference transunet defines no _init_weights — every Linear/Conv2d
+# keeps torch defaults (kaiming_uniform(a=sqrt(5)) kernel, uniform bias).
+_KI = TORCH_KERNEL_INIT
 
 
 class MultiHeadAttention(nn.Module):
@@ -32,8 +38,8 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, x):
         b, t, c = x.shape
         hd = self.dim // self.heads
-        qkv = nn.Dense(self.dim * 3, use_bias=False, dtype=self.dtype,
-                       name="qkv")(x)
+        qkv = nn.Dense(self.dim * 3, use_bias=False, kernel_init=_KI,
+                       dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, t, 3, self.heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         # NOTE: multiplied (not divided) by sqrt(head_dim) — reference parity
@@ -43,8 +49,8 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhij,bhjd->bhid", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                        name="out")(out)
+        return nn.Dense(self.dim, use_bias=False, kernel_init=_KI,
+                        dtype=self.dtype, name="out")(out)
 
 
 class TransformerBlock(nn.Module):
@@ -60,10 +66,14 @@ class TransformerBlock(nn.Module):
         y = nn.Dropout(0.1, deterministic=not train)(y)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                          name="norm1")(x + y).astype(self.dtype)
-        y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(x)
+        y = nn.Dense(self.mlp_dim, kernel_init=_KI,
+                     bias_init=torch_bias_init(self.dim),
+                     dtype=self.dtype, name="fc1")(x)
         y = jax.nn.gelu(y, approximate=False)
         y = nn.Dropout(0.1, deterministic=not train)(y)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+        y = nn.Dense(self.dim, kernel_init=_KI,
+                     bias_init=torch_bias_init(self.mlp_dim),
+                     dtype=self.dtype, name="fc2")(y)
         y = nn.Dropout(0.1, deterministic=not train)(y)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                          name="norm2")(x + y).astype(self.dtype)
@@ -83,7 +93,9 @@ class ViT(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, train: bool):
-        x = nn.Dense(self.dim, dtype=self.dtype, name="projection")(tokens)
+        x = nn.Dense(self.dim, kernel_init=_KI,
+                     bias_init=torch_bias_init(tokens.shape[-1]),
+                     dtype=self.dtype, name="projection")(tokens)
         cls = self.param("cls_token", nn.initializers.normal(1.0),
                          (1, 1, self.dim), jnp.float32)
         pos = self.param("embedding", nn.initializers.uniform(1.0),
@@ -114,19 +126,21 @@ class EncoderBottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         down = nn.Conv(self.out_channels, (1, 1), strides=(self.stride,) * 2,
-                       use_bias=False, dtype=self.dtype, name="down_conv")(x)
+                       use_bias=False, kernel_init=_KI, dtype=self.dtype,
+                       name="down_conv")(x)
         down = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, dtype=jnp.float32,
                             name="down_bn")(down).astype(self.dtype)
         width = self.out_channels
-        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = nn.Conv(width, (1, 1), use_bias=False, kernel_init=_KI,
+                    dtype=self.dtype, name="conv1")(x)
         y = _bn_relu(y, train, self.dtype, "norm1")
         y = nn.Conv(width, (3, 3), strides=(2, 2), padding="SAME",
-                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+                    use_bias=False, kernel_init=_KI, dtype=self.dtype,
+                    name="conv2")(y)
         y = _bn_relu(y, train, self.dtype, "norm2")
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                    dtype=self.dtype, name="conv3")(y)
+                    kernel_init=_KI, dtype=self.dtype, name="conv3")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32,
                          name="norm3")(y).astype(self.dtype)
@@ -146,9 +160,13 @@ class DecoderBottleneck(nn.Module):
         if skip is not None:
             x = jnp.concatenate([skip.astype(x.dtype), x], axis=-1)
         x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    kernel_init=_KI,
+                    bias_init=torch_bias_init(9 * x.shape[-1]),
                     dtype=self.dtype, name="conv1")(x)
         x = _bn_relu(x, train, self.dtype, "bn1")
         x = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                    kernel_init=_KI,
+                    bias_init=torch_bias_init(9 * self.out_channels),
                     dtype=self.dtype, name="conv2")(x)
         x = _bn_relu(x, train, self.dtype, "bn2")
         return x
@@ -171,7 +189,8 @@ class TransUNet(nn.Module):
         oc = self.out_channels
         # stem + bottlenecks (reference Encoder, transunet.py:206-241)
         x = nn.Conv(oc, (7, 7), strides=(2, 2), padding="SAME",
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+                    use_bias=False, kernel_init=_KI, dtype=self.dtype,
+                    name="conv1")(x)
         x1 = _bn_relu(x, train, self.dtype, "norm1")
         x2 = EncoderBottleneck(oc * 2, dtype=self.dtype,
                                name="encoder1")(x1, train)
@@ -185,8 +204,9 @@ class TransUNet(nn.Module):
         tokens = ViT(grid * grid, oc * 8, self.head_num, self.mlp_dim,
                      self.block_num, self.dtype, name="vit")(tokens, train)
         x4 = tokens.reshape(x4.shape[0], grid, grid, oc * 8)
-        x4 = nn.Conv(512, (3, 3), padding="SAME", dtype=self.dtype,
-                     name="conv2")(x4)
+        x4 = nn.Conv(512, (3, 3), padding="SAME", kernel_init=_KI,
+                     bias_init=torch_bias_init(9 * oc * 8),
+                     dtype=self.dtype, name="conv2")(x4)
         x4 = _bn_relu(x4, train, self.dtype, "norm2")
 
         # decoder (reference transunet.py:244-261)
@@ -194,7 +214,9 @@ class TransUNet(nn.Module):
         y = DecoderBottleneck(oc, self.dtype, name="decoder2")(y, x2, train)
         y = DecoderBottleneck(oc // 2, self.dtype, name="decoder3")(y, x1, train)
         y = DecoderBottleneck(oc // 8, self.dtype, name="decoder4")(y, None, train)
-        y = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="head")(y)
+        y = nn.Conv(self.num_classes, (1, 1), kernel_init=_KI,
+                    bias_init=torch_bias_init(oc // 8),
+                    dtype=self.dtype, name="head")(y)
         return y.astype(jnp.float32)
 
     def val(self, x):

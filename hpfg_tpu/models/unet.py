@@ -57,7 +57,11 @@ class UNetDecoder(nn.Module):
         self.up2 = UpBlock(ft[2], ft[2], 0.0, self.dtype)
         self.up3 = UpBlock(ft[1], ft[1], 0.0, self.dtype)
         self.up4 = UpBlock(ft[0], ft[0], 0.0, self.dtype)
+        from hpfg_tpu.models.layers import TORCH_KERNEL_INIT, torch_bias_init
+
         self.out_conv = nn.Conv(self.num_classes, (3, 3), padding="SAME",
+                                kernel_init=TORCH_KERNEL_INIT,
+                                bias_init=torch_bias_init(9 * ft[0]),
                                 dtype=self.dtype)
 
     def forward_feature(self, feature: list[jnp.ndarray], train: bool) -> jnp.ndarray:

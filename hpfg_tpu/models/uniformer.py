@@ -19,7 +19,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hpfg_tpu.models.layers import DropPath, ProjectionNeck
+from hpfg_tpu.models.layers import (DropPath, ProjectionNeck,
+                                    TORCH_KERNEL_INIT, torch_bias_init,
+                                    trunc_normal_init)
+
+# Reference init (model/uniformer.py:292-299 _init_weights, self.apply'd):
+# Linear trunc_normal(std=.02) + zero bias; LayerNorm (1, 0). Conv2d layers
+# (pos_embed DW convs, CBlock 1x1/5x5 convs, patch embeds) are NOT covered
+# and keep torch defaults (kaiming_uniform(a=sqrt(5)) + uniform bias).
+_KI_DENSE = trunc_normal_init(0.02)
+_KI_CONV = TORCH_KERNEL_INIT
 from hpfg_tpu.models.segformer import SegFormerHead
 
 
@@ -39,20 +48,30 @@ class CBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         x = x + nn.Conv(self.dim, (3, 3), padding="SAME",
-                        feature_group_count=self.dim, dtype=self.dtype,
-                        name="pos_embed")(x)
+                        feature_group_count=self.dim, kernel_init=_KI_CONV,
+                        bias_init=torch_bias_init(9),  # depthwise fan_in
+                        dtype=self.dtype, name="pos_embed")(x)
         y = _bn(x, train, "norm1").astype(self.dtype)
-        y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="conv1")(y)
+        y = nn.Conv(self.dim, (1, 1), kernel_init=_KI_CONV,
+                    bias_init=torch_bias_init(self.dim),
+                    dtype=self.dtype, name="conv1")(y)
         y = nn.Conv(self.dim, (5, 5), padding="SAME",
-                    feature_group_count=self.dim, dtype=self.dtype,
-                    name="attn")(y)
-        y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="conv2")(y)
+                    feature_group_count=self.dim, kernel_init=_KI_CONV,
+                    bias_init=torch_bias_init(25),  # depthwise fan_in
+                    dtype=self.dtype, name="attn")(y)
+        y = nn.Conv(self.dim, (1, 1), kernel_init=_KI_CONV,
+                    bias_init=torch_bias_init(self.dim),
+                    dtype=self.dtype, name="conv2")(y)
         x = x + DropPath(self.drop_path, name="dp1")(y, train)
         y = _bn(x, train, "norm2").astype(self.dtype)
         hidden = int(self.dim * self.mlp_ratio)
-        y = nn.Conv(hidden, (1, 1), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.Conv(hidden, (1, 1), kernel_init=_KI_CONV,
+                    bias_init=torch_bias_init(self.dim),
+                    dtype=self.dtype, name="mlp_fc1")(y)
         y = jax.nn.gelu(y, approximate=False)
-        y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="mlp_fc2")(y)
+        y = nn.Conv(self.dim, (1, 1), kernel_init=_KI_CONV,
+                    bias_init=torch_bias_init(hidden),
+                    dtype=self.dtype, name="mlp_fc2")(y)
         return x + DropPath(self.drop_path, name="dp2")(y, train)
 
 
@@ -68,15 +87,16 @@ class SABlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         x = x + nn.Conv(self.dim, (3, 3), padding="SAME",
-                        feature_group_count=self.dim, dtype=self.dtype,
-                        name="pos_embed")(x)
+                        feature_group_count=self.dim, kernel_init=_KI_CONV,
+                        bias_init=torch_bias_init(9),  # depthwise fan_in
+                        dtype=self.dtype, name="pos_embed")(x)
         b, h, w, c = x.shape
         t = x.reshape(b, h * w, c)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          name="norm1")(t).astype(self.dtype)
         hd = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, use_bias=True, dtype=self.dtype,
-                       name="qkv")(y)
+        qkv = nn.Dense(self.dim * 3, use_bias=True, kernel_init=_KI_DENSE,
+                       dtype=self.dtype, name="qkv")(y)
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, hd).transpose(
             2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -86,14 +106,17 @@ class SABlock(nn.Module):
         o = jnp.einsum("bhij,bhjd->bhid", attn, v,
                        preferred_element_type=jnp.float32).astype(self.dtype)
         o = o.transpose(0, 2, 1, 3).reshape(b, h * w, self.dim)
-        o = nn.Dense(self.dim, dtype=self.dtype, name="proj")(o)
+        o = nn.Dense(self.dim, kernel_init=_KI_DENSE, dtype=self.dtype,
+                     name="proj")(o)
         t = t + DropPath(self.drop_path, name="dp1")(o, train)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          name="norm2")(t).astype(self.dtype)
         hidden = int(self.dim * self.mlp_ratio)
-        y = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.Dense(hidden, kernel_init=_KI_DENSE, dtype=self.dtype,
+                     name="mlp_fc1")(y)
         y = jax.nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        y = nn.Dense(self.dim, kernel_init=_KI_DENSE, dtype=self.dtype,
+                     name="mlp_fc2")(y)
         t = t + DropPath(self.drop_path, name="dp2")(y, train)
         return t.reshape(b, h, w, c)
 
@@ -120,6 +143,8 @@ class UniFormer(nn.Module):
         for s in range(4):
             p = 4 if s == 0 else 2
             x = nn.Conv(self.embed_dim[s], (p, p), strides=(p, p),
+                        kernel_init=_KI_CONV,
+                        bias_init=torch_bias_init(p * p * x.shape[-1]),
                         dtype=self.dtype, name=f"patch_embed{s + 1}")(x)
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                              name=f"patch_norm{s + 1}")(x).astype(self.dtype)

@@ -322,9 +322,16 @@ def test_convblock_module_c1_stem_flag_paths_agree(monkeypatch):
         for a, b in zip(jax.tree.leaves(st_ref), jax.tree.leaves(st)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=1e-3)
-        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+        for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g_ref),
+                                jax.tree.leaves(g)):
+            # conv biases under train-mode BN have ANALYTICALLY zero grad
+            # (the bias shifts the batch mean, which BN subtracts): the
+            # fused custom VJP returns the exact 0 while flax autodiff
+            # leaves O(1e-3) cancellation residue — tolerance, not truth
+            name = jax.tree_util.keystr(path)
+            atol = 5e-3 if "bias" in name and "conv" in name else 1e-3
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                       atol=1e-3, rtol=1e-3)
+                                       atol=atol, rtol=1e-3, err_msg=name)
 
 
 class TestPlainConv:
