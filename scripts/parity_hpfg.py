@@ -273,6 +273,11 @@ def main():
     ap.add_argument("--iters", type=int, default=1200)
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--data", default="/tmp/parity_hpfg_acdc")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="framework RNG seed (init + dropout); data, batch "
+                         "schedule and CutMix masks stay fixed across seeds")
+    ap.add_argument("--no-append", action="store_true",
+                    help="print tail stats only (multi-seed study runs)")
     args = ap.parse_args()
 
     imgs, lbls, vols = pt.make_data(args.data)
@@ -281,12 +286,22 @@ def main():
 
     t0 = time.time()
     torch_curve, torch_ema = run_torch(imgs, lbls, vols, sched, masks,
-                                       args.iters, args.eval_every)
+                                       args.iters, args.eval_every,
+                                       seed=args.seed)
     t_torch = time.time() - t0
     t0 = time.time()
     jax_curve, jax_ema = run_jax(imgs, lbls, vols, sched, args.iters,
-                                 args.eval_every)
+                                 args.eval_every, seed=args.seed)
     t_jax = time.time() - t0
+
+    if args.no_append:
+        k = min(5, len(jax_curve))
+        tail_t = float(np.mean([d for _, d, _ in torch_curve[-k:]]))
+        tail_j = float(np.mean([d for _, d, _ in jax_curve[-k:]]))
+        print(f"SEED {args.seed}: torch tail {tail_t:.4f} "
+              f"jax tail {tail_j:.4f} gap {tail_j - tail_t:+.4f} "
+              f"ema torch {torch_ema:.4f} jax {jax_ema:.4f}")
+        return
 
     tail = min(5, len(torch_curve))
     tgap = (np.mean([d for _, d, _ in jax_curve[-tail:]])
