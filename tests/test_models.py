@@ -155,3 +155,40 @@ class TestUCTransNet:
         assert out.shape == (1, 32, 32, 1)
         arr = np.asarray(out)
         assert arr.min() >= 0.0 and arr.max() <= 1.0  # sigmoid head
+
+
+class TestReferenceInitParity:
+    """Init distributions must match each reference file's rules
+    (PARITY_TRAIN.md 'Init-distribution fix'): a silent revert to flax
+    defaults (lecun_normal, zero bias) re-opens the measured dice gap."""
+
+    def test_unet_torch_default_init(self):
+        from hpfg_tpu.models.unet import UNet
+
+        m = UNet(in_channels=1, num_classes=4)
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)},
+                   jnp.zeros((1, 32, 32, 1)), train=True)
+        k = np.asarray(
+            v["params"]["encoder"]["in_conv"]["conv2"]["kernel"])
+        b = np.asarray(v["params"]["encoder"]["in_conv"]["conv2"]["bias"])
+        fan_in = 9 * k.shape[2]
+        bound = 1.0 / np.sqrt(fan_in)
+        # kaiming_uniform(a=sqrt(5)): U(+-bound); uniform std = bound/sqrt(3)
+        assert np.abs(k).max() <= bound + 1e-6
+        assert k.std() == pytest.approx(bound / np.sqrt(3), rel=0.25)
+        # torch bias init is ALSO U(+-bound) — flax's zeros would fail here
+        assert np.abs(b).max() > 0.2 * bound
+        assert np.abs(b).max() <= bound + 1e-6
+
+    def test_swinunet_trunc_normal_dense(self):
+        from hpfg_tpu.models.swinunet import Mlp
+
+        m = Mlp(hidden=384, out=96)
+        v = m.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((2, 49, 96)), train=False)
+        k = np.asarray(v["params"]["fc1"]["kernel"])
+        b = np.asarray(v["params"]["fc1"]["bias"])
+        # reference init_weights: trunc_normal(std=.02) weight, zero bias
+        assert k.std() == pytest.approx(0.02, rel=0.2)
+        assert np.all(b == 0)
