@@ -361,3 +361,119 @@ def test_unet_train_mode_bn_stats_parity(ref_unet_mod, fixed_input):
     # both took one EMA step from the same running stats toward the same
     # batch mean; values must agree to float tolerance
     np.testing.assert_allclose(f_mean, t_mean, atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# SegFormer / MiT (reference model/segformer.py:92-433) — CTCT's model2
+# ---------------------------------------------------------------------------
+
+def port_segformer_weights(sd, depths=(2, 2, 2, 2)) -> tuple[dict, dict]:
+    """Reference SegFormer state_dict → (params, batch_stats) for
+    models.segformer.SegFormer/SegFormerPlus.
+
+    Name map: encoder.patch_embed{s}/block{s}.{i}/norm{s}
+    (reference segformer.py:222-243) → patch_embed{s}/block{s}_{i}/norm{s};
+    decoder.linear_c{i}.proj (FFN, :276-284) → linear_c{i};
+    decoder.linear_fuse.{conv,bn} (ConvModule, :287-295) → linear_fuse + bn;
+    decoder.linear_pred (:306) → linear_pred.
+    """
+    enc = {}
+    for s in range(1, 5):
+        enc[f"patch_embed{s}"] = {
+            "proj": _conv(sd, f"encoder.patch_embed{s}.proj"),
+            "norm": _ln(sd, f"encoder.patch_embed{s}.norm")}
+        for i in range(depths[s - 1]):
+            pre = f"encoder.block{s}.{i}"
+            attn = {"q": _linear(sd, f"{pre}.attn.q"),
+                    "kv": _linear(sd, f"{pre}.attn.kv"),
+                    "proj": _linear(sd, f"{pre}.attn.proj")}
+            if f"{pre}.attn.sr.weight" in sd:  # sr_ratio > 1 stages only
+                attn["sr"] = _conv(sd, f"{pre}.attn.sr")
+                attn["norm"] = _ln(sd, f"{pre}.attn.norm")
+            enc[f"block{s}_{i}"] = {
+                "norm1": _ln(sd, f"{pre}.norm1"),
+                "attn": attn,
+                "norm2": _ln(sd, f"{pre}.norm2"),
+                "mlp": {"fc1": _linear(sd, f"{pre}.mlp.fc1"),
+                        # torch depthwise [O,1,kh,kw] → flax [kh,kw,1,O]
+                        "dwconv": _conv(sd, f"{pre}.mlp.dwconv.dwconv"),
+                        "fc2": _linear(sd, f"{pre}.mlp.fc2")}}
+        enc[f"norm{s}"] = _ln(sd, f"encoder.norm{s}")
+
+    dec = {f"linear_c{i}": _linear(sd, f"decoder.linear_c{i}.proj")
+           for i in range(1, 5)}
+    dec["linear_fuse"] = {"kernel": jnp.asarray(
+        _np(sd["decoder.linear_fuse.conv.weight"]).transpose(2, 3, 1, 0))}
+    bn_p, bn_s = _bn(sd, "decoder.linear_fuse.bn")
+    dec["bn"] = bn_p
+    dec["linear_pred"] = _conv(sd, "decoder.linear_pred")
+    return ({"encoder": enc, "decoder": dec},
+            {"decoder": {"bn": bn_s}})
+
+
+def test_segformer_logits_parity():
+    """Ported-weight flax SegFormer-B0 == reference torch SegFormer @224²
+    (eval mode, fp32: overlap patch embeds, spatial-reduction attention,
+    MixFFN DWConv, all-MLP head with reversed-stage concat + BN fuse,
+    align_corners=False bilinear; reference model/segformer.py:92-321,
+    385-399 — the CTCT model2 family)."""
+    ref_seg = _load_reference("ref_segformer",
+                              f"{REFERENCE_ROOT}/model/segformer.py")
+    from hpfg_tpu.models.segformer import SegFormer
+
+    torch.manual_seed(11)
+    tmodel = ref_seg.SegFormer(in_channels=3, num_classes=4,
+                               model_name="B0")
+    tmodel.eval()
+    x = np.random.default_rng(5).normal(size=(1, 3, 224, 224)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+
+    params, stats = port_segformer_weights(tmodel.state_dict())
+    model = SegFormer(image_size=(224, 224), in_channels=3, num_classes=4,
+                      model_name="B0", dtype=jnp.float32)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_segformer_plus_full_forward_parity():
+    """SegFormer_Plus-B1 (logits, high, head) parity incl. both DenseCL
+    necks on the bottleneck feature and the logits map (reference
+    segformer.py:402-433)."""
+    ref_seg = _load_reference("ref_segformer",
+                              f"{REFERENCE_ROOT}/model/segformer.py")
+    from hpfg_tpu.models.segformer import SegFormerPlus
+
+    torch.manual_seed(13)
+    tmodel = ref_seg.SegFormer_Plus(image_size=[96, 96], in_channels=3,
+                                    num_classes=4, model_name="B1")
+    tmodel.eval()
+    x = np.random.default_rng(9).normal(size=(1, 3, 96, 96)).astype(
+        np.float32)
+    with torch.no_grad():
+        t_out, (t_g_high, t_d_high), (t_g_head, t_d_head) = tmodel(
+            torch.from_numpy(x))
+
+    sd = tmodel.state_dict()
+    params, stats = port_segformer_weights(sd)
+    params["dense_projection_high"] = _neck(sd, "dense_projection_high")
+    params["dense_projection_head"] = _neck(sd, "dense_projection_head")
+    model = SegFormerPlus(image_size=(96, 96), in_channels=3, num_classes=4,
+                          model_name="B1", dtype=jnp.float32)
+    out, (g_high, d_high), (g_head, d_head) = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               t_out.numpy(), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_high), t_g_high.numpy(),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_head), t_g_head.numpy(),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d_high).transpose(0, 2, 1),
+                               t_d_high.numpy(), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d_head).transpose(0, 2, 1),
+                               t_d_head.numpy(), atol=1e-3, rtol=1e-3)
