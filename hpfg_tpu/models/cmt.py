@@ -25,14 +25,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from hpfg_tpu.models.layers import (DropPath, ProjectionNeck,
-                                    trunc_normal_init)
+                                    TORCH_KERNEL_INIT, torch_bias_init)
 
-# Reference init (model/cmt.py:235-249 _init_weights, self.apply'd):
-# Linear trunc_normal(std=.02) + zero bias; Conv2d kaiming_normal
-# mode=fan_out (= variance_scaling(2, fan_out, normal)) + zero bias;
-# BN/LN (1, 0). Flax zero-bias defaults already match.
-_KI_DENSE = trunc_normal_init(0.02)
-_KI_CONV = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+# Reference init: CMT defines _init_weights (model/cmt.py:240-254) but never
+# self.apply's it (only uniformer.py:290 does), so every Linear/Conv2d keeps
+# torch defaults — kaiming_uniform(a=sqrt(5)) kernel + uniform(1/sqrt(fan_in))
+# bias. relative_pos_* stays torch.randn (cmt.py:198-206).
+_KI_DENSE = TORCH_KERNEL_INIT
+_KI_CONV = TORCH_KERNEL_INIT
 from hpfg_tpu.models.segformer import SegFormerHead
 
 
@@ -53,16 +53,19 @@ class CMTMlp(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Conv(self.hidden, (1, 1), kernel_init=_KI_CONV,
+                    bias_init=torch_bias_init(x.shape[-1]),
                     dtype=self.dtype, name="conv1")(x)
         x = jax.nn.gelu(x, approximate=False)
         x = _bn(x, train, "bn1").astype(self.dtype)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
         y = nn.Conv(self.hidden, (3, 3), padding="SAME",
                     feature_group_count=self.hidden, kernel_init=_KI_CONV,
+                    bias_init=torch_bias_init(9),  # depthwise fan_in
                     dtype=self.dtype, name="proj")(x)
         x = jax.nn.gelu(y + x, approximate=False)
         x = _bn(x, train, "proj_bn").astype(self.dtype)
         x = nn.Conv(self.out, (1, 1), kernel_init=_KI_CONV,
+                    bias_init=torch_bias_init(self.hidden),
                     dtype=self.dtype, name="conv2")(x)
         x = _bn(x, train, "bn2").astype(self.dtype)
         return nn.Dropout(self.drop, deterministic=not train)(x)
@@ -89,6 +92,7 @@ class CMTAttention(nn.Module):
 
         tokens = x.reshape(b, n, c)
         q = nn.Dense(qk_dim, use_bias=self.qkv_bias, kernel_init=_KI_DENSE,
+                     bias_init=torch_bias_init(c),
                      dtype=self.dtype, name="q")(tokens)
         q = q.reshape(b, n, self.num_heads, hd_qk).transpose(0, 2, 1, 3)
 
@@ -97,14 +101,18 @@ class CMTAttention(nn.Module):
             kv_in = nn.Conv(self.dim, (self.sr_ratio, self.sr_ratio),
                             strides=(self.sr_ratio, self.sr_ratio),
                             feature_group_count=self.dim,
-                            kernel_init=_KI_CONV, dtype=self.dtype,
+                            kernel_init=_KI_CONV,
+                            bias_init=torch_bias_init(self.sr_ratio ** 2),
+                            dtype=self.dtype,
                             name="sr_conv")(x)
             kv_in = _bn(kv_in, train, "sr_bn").astype(self.dtype)
         m = kv_in.shape[1] * kv_in.shape[2]
         kv_tokens = kv_in.reshape(b, m, c)
         k = nn.Dense(qk_dim, use_bias=self.qkv_bias, kernel_init=_KI_DENSE,
+                     bias_init=torch_bias_init(c),
                      dtype=self.dtype, name="k")(kv_tokens)
         v = nn.Dense(self.dim, use_bias=self.qkv_bias, kernel_init=_KI_DENSE,
+                     bias_init=torch_bias_init(c),
                      dtype=self.dtype, name="v")(kv_tokens)
         k = k.reshape(b, m, self.num_heads, hd_qk).transpose(0, 2, 1, 3)
         v = v.reshape(b, m, self.num_heads, hd_v).transpose(0, 2, 1, 3)
@@ -116,8 +124,9 @@ class CMTAttention(nn.Module):
         out = jnp.einsum("bhij,bhjd->bhid", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
-        return nn.Dense(self.dim, kernel_init=_KI_DENSE, dtype=self.dtype,
-                        name="proj")(out)
+        return nn.Dense(self.dim, kernel_init=_KI_DENSE,
+                        bias_init=torch_bias_init(self.dim),
+                        dtype=self.dtype, name="proj")(out)
 
 
 class CMTBlock(nn.Module):
@@ -133,6 +142,7 @@ class CMTBlock(nn.Module):
         # local perception unit (reference Block.forward, cmt.py:112-115)
         y = nn.Conv(self.dim, (3, 3), padding="SAME",
                     feature_group_count=self.dim, kernel_init=_KI_CONV,
+                    bias_init=torch_bias_init(9),  # depthwise fan_in
                     dtype=self.dtype, name="lpu")(x)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
@@ -167,8 +177,12 @@ class CMT(nn.Module):
         for i in range(3):
             stride = (2, 2) if i == 0 else (1, 1)
             ksize = (7, 7) if i == 0 else (3, 3)
+            # torch symmetric padding (cmt.py:176-186: 7x7/2 pad 3, 3x3/1
+            # pad 1); XLA SAME pads the strided stem (2, 3) — border parity
             x = nn.Conv(self.stem_channel, ksize, strides=stride,
-                        padding="SAME", kernel_init=_KI_CONV,
+                        padding=ksize[0] // 2, kernel_init=_KI_CONV,
+                        bias_init=torch_bias_init(
+                            ksize[0] * ksize[1] * x.shape[-1]),
                         dtype=self.dtype, name=f"stem_conv{i + 1}")(x)
             x = jax.nn.gelu(x, approximate=False)
             x = _bn(x, train, f"stem_norm{i + 1}").astype(self.dtype)
@@ -178,7 +192,9 @@ class CMT(nn.Module):
         cur = 0
         for s in range(4):
             x = nn.Conv(self.embed_dims[s], (2, 2), strides=(2, 2),
-                        kernel_init=_KI_CONV, dtype=self.dtype,
+                        kernel_init=_KI_CONV,
+                        bias_init=torch_bias_init(4 * x.shape[-1]),
+                        dtype=self.dtype,
                         name=f"patch_embed_{s}")(x)
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                              name=f"patch_norm_{s}")(x).astype(self.dtype)

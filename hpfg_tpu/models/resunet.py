@@ -43,13 +43,13 @@ class ResidualConv(nn.Module):
         y = _bn(x, train, "bn1")
         y = jax.nn.relu(y).astype(self.dtype)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding="SAME", dtype=self.dtype, name="conv1")(y)
+                    padding=1, dtype=self.dtype, name="conv1")(y)
         y = _bn(y, train, "bn2")
         y = jax.nn.relu(y).astype(self.dtype)
         y = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
                     name="conv2")(y)
         skip = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                       padding="SAME", dtype=self.dtype, name="skip")(x)
+                       padding=1, dtype=self.dtype, name="skip")(x)
         return y + skip
 
 
@@ -123,7 +123,7 @@ class StemBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding="SAME", dtype=self.dtype, name="c1_conv1")(x)
+                    padding=1, dtype=self.dtype, name="c1_conv1")(x)
         y = _bn(y, train, "c1_bn")
         y = jax.nn.relu(y).astype(self.dtype)
         y = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
@@ -147,7 +147,7 @@ class ResNetBlockSE(nn.Module):
         y = _bn(x, train, "bn1")
         y = jax.nn.relu(y).astype(self.dtype)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding="SAME", dtype=self.dtype, name="conv1")(y)
+                    padding=1, dtype=self.dtype, name="conv1")(y)
         y = _bn(y, train, "bn2")
         y = jax.nn.relu(y).astype(self.dtype)
         y = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,

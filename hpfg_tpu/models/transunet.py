@@ -135,7 +135,8 @@ class EncoderBottleneck(nn.Module):
         y = nn.Conv(width, (1, 1), use_bias=False, kernel_init=_KI,
                     dtype=self.dtype, name="conv1")(x)
         y = _bn_relu(y, train, self.dtype, "norm1")
-        y = nn.Conv(width, (3, 3), strides=(2, 2), padding="SAME",
+        # symmetric padding=1 (transunet.py:155); SAME at stride 2 is (0, 1)
+        y = nn.Conv(width, (3, 3), strides=(2, 2), padding=1,
                     use_bias=False, kernel_init=_KI, dtype=self.dtype,
                     name="conv2")(y)
         y = _bn_relu(y, train, self.dtype, "norm2")
@@ -188,7 +189,9 @@ class TransUNet(nn.Module):
         x = x.astype(self.dtype)
         oc = self.out_channels
         # stem + bottlenecks (reference Encoder, transunet.py:206-241)
-        x = nn.Conv(oc, (7, 7), strides=(2, 2), padding="SAME",
+        # torch pads the 7x7/2 stem symmetrically (padding=3,
+        # transunet.py:210); XLA SAME would pad (2, 3) — border parity
+        x = nn.Conv(oc, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, kernel_init=_KI, dtype=self.dtype,
                     name="conv1")(x)
         x1 = _bn_relu(x, train, self.dtype, "norm1")

@@ -129,7 +129,9 @@ class UniFormer(nn.Module):
     embed_dim: Sequence[int] = (64, 128, 320, 512)
     head_dim: int = 64
     mlp_ratio: float = 4.0
-    drop_path_rate: float = 0.0
+    # reference UniFormer defaults drop_path_rate=0.1 (uniformer.py:224) and
+    # uniformer_small does not override it (uniformer.py:332-338)
+    drop_path_rate: float = 0.1
     drop_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
 

@@ -477,3 +477,467 @@ def test_segformer_plus_full_forward_parity():
                                t_d_high.numpy(), atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(d_head).transpose(0, 2, 1),
                                t_d_head.numpy(), atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# TransUNet (reference model/transunet.py:265-298) — sup/semi ACDC families
+# ---------------------------------------------------------------------------
+
+def _conv_nobias(sd, key):
+    return {"kernel": jnp.asarray(
+        _np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0))}
+
+
+def _transunet_qkv(sd, key, head_num):
+    """Reference qkv_layer columns are laid out by the einops pattern
+    'b t (d k h)' (transunet.py:20): torch feature f = d*3*H + k*H + h.
+    Our kernel reshapes as (3, H, hd): f = k*H*hd + h*hd + d. Permute."""
+    w = _np(sd[f"{key}.weight"])            # [3*dim, dim]
+    dim = w.shape[1]
+    hd = dim // head_num
+    k, rem = np.divmod(np.arange(3 * dim), head_num * hd)
+    h, d = np.divmod(rem, hd)
+    perm = d * (3 * head_num) + k * head_num + h
+    return {"kernel": jnp.asarray(w.T[:, perm])}
+
+
+def _transunet_bottleneck(sd, prefix):
+    """EncoderBottleneck (transunet.py:141-179) → our encoder{i} scope."""
+    params, stats = {}, {}
+    params["down_conv"] = _conv_nobias(sd, f"{prefix}.downsample.0")
+    params["down_bn"], stats["down_bn"] = _bn(sd, f"{prefix}.downsample.1")
+    for j in (1, 2, 3):
+        params[f"conv{j}"] = _conv_nobias(sd, f"{prefix}.conv{j}")
+        params[f"norm{j}"], stats[f"norm{j}"] = _bn(sd, f"{prefix}.norm{j}")
+    return params, stats
+
+
+def port_transunet_weights(sd, block_num=8, head_num=4) -> tuple[dict, dict]:
+    """Reference TransUNet state_dict → (params, batch_stats) for
+    models.transunet.TransUNet (name map: encoder.* flattened to the top
+    scope, vit.transformer.layer_blocks.{i} → vit/block{i},
+    decoder.decoder{i}.layer.{0,1,3,4} → decoder{i}/{conv1,bn1,conv2,bn2},
+    decoder.conv1 → head)."""
+    params, stats = {}, {}
+    params["conv1"] = _conv_nobias(sd, "encoder.conv1")
+    params["norm1"], stats["norm1"] = _bn(sd, "encoder.norm1")
+    for i in (1, 2, 3):
+        p, s = _transunet_bottleneck(sd, f"encoder.encoder{i}")
+        params[f"encoder{i}"], stats[f"encoder{i}"] = p, s
+
+    vit = {"projection": _linear(sd, "encoder.vit.projection"),
+           "cls_token": jnp.asarray(_np(sd["encoder.vit.cls_token"])),
+           "embedding": jnp.asarray(_np(sd["encoder.vit.embedding"]))}
+    for i in range(block_num):
+        pre = f"encoder.vit.transformer.layer_blocks.{i}"
+        vit[f"block{i}"] = {
+            "attn": {"qkv": _transunet_qkv(
+                         sd, f"{pre}.multi_head_attention.qkv_layer",
+                         head_num),
+                     "out": _dense_nobias(
+                         sd, f"{pre}.multi_head_attention.out_attention")},
+            "norm1": _ln(sd, f"{pre}.layer_norm1"),
+            "norm2": _ln(sd, f"{pre}.layer_norm2"),
+            "fc1": _linear(sd, f"{pre}.mlp.mlp_layers.0"),
+            "fc2": _linear(sd, f"{pre}.mlp.mlp_layers.3")}
+    params["vit"] = vit
+
+    params["conv2"] = _conv(sd, "encoder.conv2")
+    params["norm2"], stats["norm2"] = _bn(sd, "encoder.norm2")
+    for i in (1, 2, 3, 4):
+        pre = f"decoder.decoder{i}"
+        bn1_p, bn1_s = _bn(sd, f"{pre}.layer.1")
+        bn2_p, bn2_s = _bn(sd, f"{pre}.layer.4")
+        params[f"decoder{i}"] = {"conv1": _conv(sd, f"{pre}.layer.0"),
+                                 "bn1": bn1_p,
+                                 "conv2": _conv(sd, f"{pre}.layer.3"),
+                                 "bn2": bn2_p}
+        stats[f"decoder{i}"] = {"bn1": bn1_s, "bn2": bn2_s}
+    params["head"] = _conv(sd, "decoder.conv1")
+    return params, stats
+
+
+def test_transunet_logits_parity():
+    """Ported-weight flax TransUNet == reference torch TransUNet @96²
+    (eval mode, fp32: ResNet-bottleneck encoder with torch symmetric
+    padding on the strided convs, sqrt-multiplied post-norm ViT with the
+    einops '(d k h)' qkv layout, align-corners decoder;
+    reference model/transunet.py:265-298 — get_transunet)."""
+    ref_tu = _load_reference("ref_transunet",
+                             f"{REFERENCE_ROOT}/model/transunet.py")
+    from hpfg_tpu.models.transunet import TransUNet
+
+    torch.manual_seed(17)
+    tmodel = ref_tu.get_transunet(image_size=96, num_classes=4,
+                                  in_channels=3)
+    tmodel.eval()
+    x = np.random.default_rng(23).normal(size=(2, 3, 96, 96)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+
+    params, stats = port_transunet_weights(tmodel.state_dict())
+    model = TransUNet(image_size=96, num_classes=4, in_channels=3,
+                      dtype=jnp.float32)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# CMT / CMT_Plus (reference model/cmt.py:154-477) — CTCT's cmt families
+# ---------------------------------------------------------------------------
+
+def _install_timm_stub():
+    """Reference cmt.py/uniformer.py import timm (absent here) only for
+    DropPath/to_2tuple/trunc_normal_/register_model/_cfg — stub them."""
+    if "timm" in sys.modules:
+        return
+    import types
+    import torch.nn as tnn
+
+    class _DropPath(tnn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):  # eval-mode identity (tests run eval)
+            return x
+
+    layers = types.ModuleType("timm.models.layers")
+    layers.DropPath = _DropPath
+    layers.to_2tuple = lambda v: tuple(v) if isinstance(v, (tuple, list)) \
+        else (v, v)
+    layers.trunc_normal_ = (
+        lambda t, mean=0.0, std=1.0, a=-2.0, b=2.0:
+        torch.nn.init.trunc_normal_(t, mean, std, a, b))
+    helpers = types.ModuleType("timm.models.helpers")
+    helpers.load_pretrained = lambda *a, **k: None
+    registry = types.ModuleType("timm.models.registry")
+    registry.register_model = lambda fn: fn
+    vt = types.ModuleType("timm.models.vision_transformer")
+    vt._cfg = lambda url="", **kw: dict(url=url, **kw)
+    models = types.ModuleType("timm.models")
+    models.layers, models.helpers, models.registry = layers, helpers, registry
+    models.vision_transformer = vt
+    timm = types.ModuleType("timm")
+    timm.models = models
+    sys.modules.update({
+        "timm": timm, "timm.models": models,
+        "timm.models.layers": layers, "timm.models.helpers": helpers,
+        "timm.models.registry": registry,
+        "timm.models.vision_transformer": vt})
+
+
+_CMT_STAGE = "abcd"
+
+
+def port_cmt_weights(sd, depths, sr_ratios=(8, 4, 2, 1)) -> tuple[dict, dict]:
+    """Reference CMT_S/CMT_Plus state_dict → (params, batch_stats).
+
+    Name map (reference cmt.py:176-233): stem_conv{i}/stem_norm{i} keep
+    their names; patch_embed_{a..d}.{proj,norm} → patch_embed_{s} +
+    patch_norm_{s}; relative_pos_{a..d} → relative_pos_{s};
+    blocks_{a..d}.{i}.{proj,norm1,attn,norm2,mlp} → block{s}_{i}/
+    {lpu,norm1,attn,norm2,mlp} with attn.sr.{0,1} → sr_conv/sr_bn and
+    mlp.conv1.{0,2}/proj/proj_bn/conv2.{0,1} → conv1/bn1/proj/proj_bn/
+    conv2/bn2; the SegFormerHead decoder maps as in port_segformer_weights
+    (cmt.py:380-404)."""
+    enc, enc_s = {}, {}
+    for i in (1, 2, 3):
+        enc[f"stem_conv{i}"] = _conv(sd, f"encoder.stem_conv{i}")
+        enc[f"stem_norm{i}"], enc_s[f"stem_norm{i}"] = _bn(
+            sd, f"encoder.stem_norm{i}")
+    for s in range(4):
+        tag = _CMT_STAGE[s]
+        enc[f"patch_embed_{s}"] = _conv(sd, f"encoder.patch_embed_{tag}.proj")
+        enc[f"patch_norm_{s}"] = _ln(sd, f"encoder.patch_embed_{tag}.norm")
+        enc[f"relative_pos_{s}"] = jnp.asarray(
+            _np(sd[f"encoder.relative_pos_{tag}"]))
+        for i in range(depths[s]):
+            pre = f"encoder.blocks_{tag}.{i}"
+            attn = {"q": _linear(sd, f"{pre}.attn.q"),
+                    "k": _linear(sd, f"{pre}.attn.k"),
+                    "v": _linear(sd, f"{pre}.attn.v"),
+                    "proj": _linear(sd, f"{pre}.attn.proj")}
+            blk_s = {}
+            if sr_ratios[s] > 1:
+                attn["sr_conv"] = _conv(sd, f"{pre}.attn.sr.0")
+                attn["sr_bn"], sr_s = _bn(sd, f"{pre}.attn.sr.1")
+                blk_s["attn"] = {"sr_bn": sr_s}
+            bn1_p, bn1_s = _bn(sd, f"{pre}.mlp.conv1.2")
+            pbn_p, pbn_s = _bn(sd, f"{pre}.mlp.proj_bn")
+            bn2_p, bn2_s = _bn(sd, f"{pre}.mlp.conv2.1")
+            enc[f"block{s}_{i}"] = {
+                "lpu": _conv(sd, f"{pre}.proj"),
+                "norm1": _ln(sd, f"{pre}.norm1"),
+                "norm2": _ln(sd, f"{pre}.norm2"),
+                "attn": attn,
+                "mlp": {"conv1": _conv(sd, f"{pre}.mlp.conv1.0"), "bn1": bn1_p,
+                        "proj": _conv(sd, f"{pre}.mlp.proj"),
+                        "proj_bn": pbn_p,
+                        "conv2": _conv(sd, f"{pre}.mlp.conv2.0"),
+                        "bn2": bn2_p}}
+            blk_s["mlp"] = {"bn1": bn1_s, "proj_bn": pbn_s, "bn2": bn2_s}
+            enc_s[f"block{s}_{i}"] = blk_s
+
+    dec = {f"linear_c{i}": _linear(sd, f"decoder.linear_c{i}.proj")
+           for i in range(1, 5)}
+    dec["linear_fuse"] = {"kernel": jnp.asarray(
+        _np(sd["decoder.linear_fuse.conv.weight"]).transpose(2, 3, 1, 0))}
+    bn_p, bn_s = _bn(sd, "decoder.linear_fuse.bn")
+    dec["bn"] = bn_p
+    dec["linear_pred"] = _conv(sd, "decoder.linear_pred")
+    return ({"encoder": enc, "decoder": dec},
+            {"encoder": enc_s, "decoder": {"bn": bn_s}})
+
+
+@pytest.fixture(scope="module")
+def ref_cmt_mod():
+    _install_timm_stub()
+    return _load_reference("ref_cmt", f"{REFERENCE_ROOT}/model/cmt.py")
+
+
+def test_cmt_s_logits_parity(ref_cmt_mod):
+    """Ported-weight flax CMT_S (cmt_xs encoder + SegFormerHead) ==
+    reference torch CMT_S @96² (eval, fp32: symmetric-padded GELU+BN stem,
+    2x2 patch embeds, LPU residual, SR attention with learned relative-pos
+    bias, inverted-residual MixFFN; reference cmt.py:316-324, 440-458)."""
+    torch.manual_seed(3)
+    tmodel = ref_cmt_mod.CMT_S(image_size=[96, 96], in_channels=3,
+                               num_classes=4)
+    tmodel.eval()
+    x = np.random.default_rng(7).normal(size=(2, 3, 96, 96)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+
+    from hpfg_tpu.models.cmt import CMTSeg
+    params, stats = port_cmt_weights(tmodel.state_dict(),
+                                     depths=(3, 3, 12, 3))
+    model = CMTSeg(image_size=(96, 96), in_channels=3, num_classes=4,
+                   dtype=jnp.float32)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_cmt_plus_full_forward_parity(ref_cmt_mod):
+    """CMT_Plus (cmt_tiny encoder; logits + DenseCL necks on the last stage
+    feature and the logits map) parity (reference cmt.py:461-477)."""
+    torch.manual_seed(5)
+    tmodel = ref_cmt_mod.CMT_Plus(image_size=[96, 96], in_channels=3,
+                                  num_classes=4)
+    tmodel.eval()
+    x = np.random.default_rng(11).normal(size=(1, 3, 96, 96)).astype(
+        np.float32)
+    with torch.no_grad():
+        t_out, (t_g_high, t_d_high), (t_g_head, t_d_head) = tmodel(
+            torch.from_numpy(x))
+
+    from hpfg_tpu.models.cmt import CMTPlus
+    sd = tmodel.state_dict()
+    params, stats = port_cmt_weights(sd, depths=(2, 2, 10, 2))
+    params["dense_projection_high"] = _neck(sd, "dense_projection_high")
+    params["dense_projection_head"] = _neck(sd, "dense_projection_head")
+    model = CMTPlus(image_size=(96, 96), in_channels=3, num_classes=4,
+                    dtype=jnp.float32)
+    out, (g_high, d_high), (g_head, d_head) = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               t_out.numpy(), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_high), t_g_high.numpy(),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_head), t_g_head.numpy(),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d_high).transpose(0, 2, 1),
+                               t_d_high.numpy(), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d_head).transpose(0, 2, 1),
+                               t_d_head.numpy(), atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# UniFormer_Plus (reference model/uniformer.py:202-527) — ccnet_uniformer
+# ---------------------------------------------------------------------------
+
+def port_uniformer_weights(sd, depth=(3, 4, 8, 3)) -> tuple[dict, dict]:
+    """Reference Uniformer_Plus state_dict → (params, batch_stats).
+
+    Name map (reference uniformer.py:202-331): patch_embed{s}.{proj,norm} →
+    patch_embed{s}/patch_norm{s}; blocks{s}.{i} → block{s}_{i} with CBlock
+    (stages 1-2: pos_embed, BN norms, conv1/attn/conv2 convs, CMlp 1x1 fc1/
+    fc2 → mlp_fc1/mlp_fc2) and SABlock (stages 3-4: LN norms, attn.qkv/
+    attn.proj → qkv/proj, Linear fc1/fc2); stage-end BatchNorm norm{s};
+    SegFormerHead decoder + DenseCL necks as in port_cmt_weights."""
+    enc, enc_s = {}, {}
+    for s in range(1, 5):
+        enc[f"patch_embed{s}"] = _conv(sd, f"encoder.patch_embed{s}.proj")
+        enc[f"patch_norm{s}"] = _ln(sd, f"encoder.patch_embed{s}.norm")
+        for i in range(depth[s - 1]):
+            pre = f"encoder.blocks{s}.{i}"
+            blk = {"pos_embed": _conv(sd, f"{pre}.pos_embed")}
+            if s <= 2:
+                n1_p, n1_s = _bn(sd, f"{pre}.norm1")
+                n2_p, n2_s = _bn(sd, f"{pre}.norm2")
+                blk.update(norm1=n1_p, norm2=n2_p,
+                           conv1=_conv(sd, f"{pre}.conv1"),
+                           attn=_conv(sd, f"{pre}.attn"),
+                           conv2=_conv(sd, f"{pre}.conv2"),
+                           mlp_fc1=_conv(sd, f"{pre}.mlp.fc1"),
+                           mlp_fc2=_conv(sd, f"{pre}.mlp.fc2"))
+                enc_s[f"block{s}_{i}"] = {"norm1": n1_s, "norm2": n2_s}
+            else:
+                blk.update(norm1=_ln(sd, f"{pre}.norm1"),
+                           norm2=_ln(sd, f"{pre}.norm2"),
+                           qkv=_linear(sd, f"{pre}.attn.qkv"),
+                           proj=_linear(sd, f"{pre}.attn.proj"),
+                           mlp_fc1=_linear(sd, f"{pre}.mlp.fc1"),
+                           mlp_fc2=_linear(sd, f"{pre}.mlp.fc2"))
+            enc[f"block{s}_{i}"] = blk
+        sn_p, sn_s = _bn(sd, f"encoder.norm{s}")
+        enc[f"norm{s}"] = sn_p
+        enc_s[f"norm{s}"] = sn_s
+
+    dec = {f"linear_c{i}": _linear(sd, f"decoder.linear_c{i}.proj")
+           for i in range(1, 5)}
+    dec["linear_fuse"] = {"kernel": jnp.asarray(
+        _np(sd["decoder.linear_fuse.conv.weight"]).transpose(2, 3, 1, 0))}
+    bn_p, bn_s = _bn(sd, "decoder.linear_fuse.bn")
+    dec["bn"] = bn_p
+    dec["linear_pred"] = _conv(sd, "decoder.linear_pred")
+    return ({"encoder": enc, "decoder": dec},
+            {"encoder": enc_s, "decoder": {"bn": bn_s}})
+
+
+def test_uniformer_plus_full_forward_parity():
+    """Ported-weight flax UniformerPlus == reference torch Uniformer_Plus
+    @96² (eval, fp32: uniformer_small — conv blocks in stages 1-2, global
+    attention in 3-4, stage-end BatchNorms — + SegFormerHead + both DenseCL
+    necks; reference uniformer.py:332-338, 508-527)."""
+    _install_timm_stub()
+    ref_uf = _load_reference("ref_uniformer",
+                             f"{REFERENCE_ROOT}/model/uniformer.py")
+    from hpfg_tpu.models.uniformer import UniformerPlus
+
+    torch.manual_seed(19)
+    tmodel = ref_uf.Uniformer_Plus(image_size=[96, 96], in_channels=3,
+                                   num_classes=4)
+    tmodel.eval()
+    x = np.random.default_rng(29).normal(size=(1, 3, 96, 96)).astype(
+        np.float32)
+    with torch.no_grad():
+        t_out, (t_g_high, t_d_high), (t_g_head, t_d_head) = tmodel(
+            torch.from_numpy(x))
+
+    sd = tmodel.state_dict()
+    params, stats = port_uniformer_weights(sd)
+    params["dense_projection_high"] = _neck(sd, "dense_projection_high")
+    params["dense_projection_head"] = _neck(sd, "dense_projection_head")
+    model = UniformerPlus(img_size=96, in_channels=3, num_classes=4,
+                          dtype=jnp.float32)
+    out, (g_high, d_high), (g_head, d_head) = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               t_out.numpy(), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_high), t_g_high.numpy(),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_head), t_g_head.numpy(),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d_high).transpose(0, 2, 1),
+                               t_d_high.numpy(), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(d_head).transpose(0, 2, 1),
+                               t_d_head.numpy(), atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# SS-Net (reference model/ss_net.py:116-169) — ssnet algorithm's model
+# ---------------------------------------------------------------------------
+
+def _mlp_head(sd, prefix):
+    """torch Sequential(Linear, BatchNorm1d, act, Linear) → our MLPHead
+    {Dense_0, BatchNorm_0, Dense_1} (+ stats)."""
+    bn_p, bn_s = _bn(sd, f"{prefix}.1")
+    return ({"Dense_0": _linear(sd, f"{prefix}.0"), "BatchNorm_0": bn_p,
+             "Dense_1": _linear(sd, f"{prefix}.3")},
+            {"BatchNorm_0": bn_s})
+
+
+def port_ssnet_weights(sd, num_classes=4) -> tuple[dict, dict]:
+    """Reference SSNet state_dict → (params, batch_stats): UNet-style
+    encoder/decoder (ss_net.py:58-114, same ConvBlock scheme as unet.py)
+    plus projection/prediction heads and the per-class selector MLPs
+    (ss_net.py:129-158)."""
+    params, stats = {"encoder": {}, "decoder": {}}, \
+                    {"encoder": {}, "decoder": {}}
+    p, s = _conv_block(sd, "encoder.in_conv.conv_conv")
+    params["encoder"]["in_conv"], stats["encoder"]["in_conv"] = p, s
+    for i in range(1, 5):
+        p, s = _conv_block(sd, f"encoder.down{i}.maxpool_conv.1.conv_conv")
+        params["encoder"][f"down{i}"] = {"conv": p}
+        stats["encoder"][f"down{i}"] = {"conv": s}
+    for i in range(1, 5):
+        p, s = _conv_block(sd, f"decoder.up{i}.conv.conv_conv")
+        params["decoder"][f"up{i}"] = {
+            "conv1x1": _conv(sd, f"decoder.up{i}.conv1x1"), "conv": p}
+        stats["decoder"][f"up{i}"] = {"conv": s}
+    params["decoder"]["out_conv"] = _conv(sd, "decoder.out_conv")
+    for head in ("projection_head", "prediction_head"):
+        params[head], stats[head] = _mlp_head(sd, head)
+    for c in range(num_classes):
+        for tag in (f"contrastive_class_selector_{c}",
+                    f"contrastive_class_selector_memory{c}"):
+            params[tag], stats[tag] = _mlp_head(sd, tag)
+    return params, stats
+
+
+def test_ssnet_full_parity(fixed_input):
+    """Ported-weight flax SSNet == reference torch SSNet (eval, fp32):
+    (logits, last-feature) pair plus the projection → prediction head chain
+    and one per-class selector of each family on real feature rows
+    (reference ss_net.py:116-169)."""
+    ref_ss = _load_reference("ref_ssnet", f"{REFERENCE_ROOT}/model/ss_net.py")
+    from hpfg_tpu.models.ssnet import SSNet
+
+    torch.manual_seed(23)
+    tmodel = ref_ss.SSNet(in_channels=1, num_classes=4)
+    tmodel.eval()
+    x = fixed_input
+    with torch.no_grad():
+        t_out, t_feat = tmodel(torch.from_numpy(x))
+        t_rows = t_feat.permute(0, 2, 3, 1).reshape(-1, 16)[:64]
+        t_proj = tmodel.forward_projection_head(t_rows)
+        t_pred = tmodel.forward_prediction_head(t_proj)
+        t_sel = tmodel.contrastive_class_selector_1(t_pred)
+        t_sel_mem = tmodel.contrastive_class_selector_memory2(t_pred)
+
+    params, stats = port_ssnet_weights(tmodel.state_dict())
+    model = SSNet(in_channels=1, num_classes=4, dtype=jnp.float32)
+    variables = {"params": params, "batch_stats": stats}
+    out, feat = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                            train=False)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               t_out.numpy(), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(feat).transpose(0, 3, 1, 2), t_feat.numpy(),
+        atol=1e-4, rtol=1e-3)
+
+    rows = np.asarray(feat).reshape(-1, 16)[:64]
+    proj = model.apply(variables, jnp.asarray(rows), False,
+                       method="project")
+    pred = model.apply(variables, proj, False, method="predict")
+    sel = model.apply(variables, 1, pred, False, method="select")
+    sel_mem = model.apply(variables, 2, pred, False, method="select_memory")
+    np.testing.assert_allclose(np.asarray(proj), t_proj.numpy(),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(pred), t_pred.numpy(),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(sel), t_sel.numpy(),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(sel_mem), t_sel_mem.numpy(),
+                               atol=1e-4, rtol=1e-3)
