@@ -64,19 +64,24 @@ def warmup_cosine_lr(base_lr: float, warmup_epochs: int, warmup_lr: float,
 
 
 def build_lr_schedule(cfg) -> Schedule:
-    """Mirror of reference build_lr_scheduler (utils/__init__.py:28-49)."""
+    """Mirror of reference build_lr_scheduler (utils/__init__.py:28-49).
+
+    Rate keys are float()-coerced: YAML 1.1 parses dot-less scientific
+    notation (the reference configs' ``warmup_lr: 1e-05``) as a STRING,
+    which would otherwise crash the warmup arithmetic at trace time.
+    """
     sched = cfg.get("sched", "medical")
     if sched == "medical":
-        return medical_lr(cfg.lr, cfg.total_itrs)
+        return medical_lr(float(cfg.lr), cfg.total_itrs)
     if sched == "poly":
-        return poly_lr(cfg.lr, cfg.total_itrs, power=0.1,
-                       min_lr=cfg.get("min_lr", 1e-6))
+        return poly_lr(float(cfg.lr), cfg.total_itrs, power=0.1,
+                       min_lr=float(cfg.get("min_lr", 1e-6)))
     if sched == "cosine":
         return warmup_cosine_lr(
-            base_lr=cfg.lr,
+            base_lr=float(cfg.lr),
             warmup_epochs=cfg.get("warmup_epochs", 0),
-            warmup_lr=cfg.get("warmup_lr", 1e-4),
-            final_lr=cfg.get("min_lr", 1e-6),
+            warmup_lr=float(cfg.get("warmup_lr", 1e-4)),
+            final_lr=float(cfg.get("min_lr", 1e-6)),
             iter_per_epoch=cfg.step_size,
             num_epochs=max(cfg.total_itrs // cfg.step_size, 1),
         )

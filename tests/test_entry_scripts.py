@@ -98,3 +98,22 @@ def test_config_yaml_files_parse():
         assert "total_itrs" in cfg, name
         if "model1" in cfg:
             assert "opt" in cfg.model1 and "lr" in cfg.model1, name
+
+
+def test_every_config_builds_optimizer_and_schedule():
+    """YAML 1.1 parses dot-less scientific notation (``warmup_lr: 1e-05``,
+    as in the reference's ccnet configs) as a STRING; the optimizer build
+    must coerce, not crash at trace time (caught driving ccnet_cmt)."""
+    from hpfg_tpu.config import load_config
+    from hpfg_tpu.train.optim import build_optimizer
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    for name in sorted(f for f in os.listdir(cfg_dir)
+                       if f.endswith(".yaml")):
+        cfg = load_config(os.path.join(cfg_dir, name))
+        for sub in ([cfg.model1, cfg.model2] if "model1" in cfg else [{}]):
+            merged = cfg.merged(sub)
+            merged.setdefault("step_size", 100)
+            tx, schedule = build_optimizer(merged)
+            lr0 = float(np.asarray(schedule(0)))
+            assert np.isfinite(lr0), (name, lr0)
