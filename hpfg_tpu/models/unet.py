@@ -159,25 +159,86 @@ class UNetPlus(nn.Module):
         return self.decoder(self.encoder(x, False), False)
 
 
+class DoubleConvLarge(nn.Module):
+    """conv-BN-ReLU-dropout-conv-BN-ReLU with bias-free convs and an
+    optional mid-channel bottleneck (reference DoubleConv,
+    model/unet_large.py:7-19 — ReLU, unlike the small UNet's LeakyReLU)."""
+
+    out: int
+    mid: int | None = None
+    dropout_p: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        import jax
+
+        from hpfg_tpu.models.layers import TORCH_KERNEL_INIT
+
+        mid = self.out if self.mid is None else self.mid
+        x = nn.Conv(mid, (3, 3), padding="SAME", use_bias=False,
+                    kernel_init=TORCH_KERNEL_INIT, dtype=self.dtype,
+                    name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+        x = jax.nn.relu(x).astype(self.dtype)
+        x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
+        x = nn.Conv(self.out, (3, 3), padding="SAME", use_bias=False,
+                    kernel_init=TORCH_KERNEL_INIT, dtype=self.dtype,
+                    name="conv2")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn2")(x)
+        return jax.nn.relu(x).astype(self.dtype)
+
+
 class UNetLarge(nn.Module):
-    """Double-conv UNet with base_c channels and transposed-free bilinear
-    upsampling (reference UNet_Large, model/unet_large.py:62-97; base_c=32)."""
+    """reference UNet_Large (model/unet_large.py:62-97): bias-free ReLU
+    DoubleConvs, a factor-2 bottleneck (down4 emits base_c*8, not *16,
+    when bilinear), up path = bilinear(align_corners) x2 upsample →
+    pad-to-skip → concat([skip, x]) → DoubleConv(out, mid=concat//2)
+    with NO 1x1 conv (unet_large.py:30-52), and a 1x1 logits head.
+    builder.py:37-38 instantiates base_c=32; the unregistered
+    unet_large_LIDC.py variant is the same topology at base_c=64."""
 
     in_channels: int = 1
     num_classes: int = 4
     base_c: int = 32
     dtype: jnp.dtype = jnp.float32
 
-    def setup(self):
-        c = self.base_c
-        self.encoder = UNetEncoder(c, (c, c * 2, c * 4, c * 8, c * 16),
-                                   (0.0, 0.0, 0.0, 0.0, 0.0), self.dtype)
-        self.decoder = UNetDecoder(self.num_classes,
-                                   (c, c * 2, c * 4, c * 8, c * 16), self.dtype)
-
+    @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from hpfg_tpu.models.layers import (TORCH_KERNEL_INIT,
+                                            resize_bilinear_align_corners,
+                                            torch_bias_init)
+
         x = x.astype(self.dtype)
-        return self.decoder(self.encoder(x, train), train)
+        c = self.base_c
+        x1 = DoubleConvLarge(c, dtype=self.dtype, name="in_conv")(x, train)
+        feats, y = [x1], x1
+        for i, out in enumerate((c * 2, c * 4, c * 8, c * 8), start=1):
+            y = nn.max_pool(y, (2, 2), strides=(2, 2))
+            y = DoubleConvLarge(out, dtype=self.dtype,
+                                name=f"down{i}")(y, train)
+            feats.append(y)
+
+        x1, x2, x3, x4, y = feats
+        for i, (skip, out) in enumerate(
+                zip((x4, x3, x2, x1), (c * 4, c * 2, c, c)), start=1):
+            y = resize_bilinear_align_corners(
+                y, (y.shape[1] * 2, y.shape[2] * 2))
+            dy = skip.shape[1] - y.shape[1]
+            dx = skip.shape[2] - y.shape[2]
+            if dy or dx:  # odd-size inputs (reference F.pad, :43-49)
+                y = jnp.pad(y, ((0, 0), (dy // 2, dy - dy // 2),
+                                (dx // 2, dx - dx // 2), (0, 0)))
+            y = jnp.concatenate([skip.astype(y.dtype), y], axis=-1)
+            y = DoubleConvLarge(out, mid=y.shape[-1] // 2, dtype=self.dtype,
+                                name=f"up{i}")(y, train)
+        logits = nn.Conv(self.num_classes, (1, 1),
+                         kernel_init=TORCH_KERNEL_INIT,
+                         bias_init=torch_bias_init(c), dtype=self.dtype,
+                         name="out_conv")(y)
+        return logits.astype(jnp.float32)
 
     def val(self, x: jnp.ndarray) -> jnp.ndarray:
         return self(x, train=False)

@@ -941,3 +941,131 @@ def test_ssnet_full_parity(fixed_input):
                                atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(sel_mem), t_sel_mem.numpy(),
                                atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# UNet_Large (reference model/unet_large.py:62-97) — builder 'unet_large'
+# ---------------------------------------------------------------------------
+
+def port_unet_large_weights(sd) -> tuple[dict, dict]:
+    """Reference UNet_Large state_dict → (params, batch_stats): Sequential
+    DoubleConv indices {0,1,4,5} → {conv1,bn1,conv2,bn2}; Down = maxpool +
+    DoubleConv at .1; Up's DoubleConv at .conv; OutConv at .0."""
+    params, stats = {}, {}
+
+    def dc(prefix):
+        bn1_p, bn1_s = _bn(sd, f"{prefix}.1")
+        bn2_p, bn2_s = _bn(sd, f"{prefix}.5")
+        return ({"conv1": _conv_nobias(sd, f"{prefix}.0"), "bn1": bn1_p,
+                 "conv2": _conv_nobias(sd, f"{prefix}.4"), "bn2": bn2_p},
+                {"bn1": bn1_s, "bn2": bn2_s})
+
+    params["in_conv"], stats["in_conv"] = dc("in_conv")
+    for i in range(1, 5):
+        params[f"down{i}"], stats[f"down{i}"] = dc(f"down{i}.1")
+    for i in range(1, 5):
+        params[f"up{i}"], stats[f"up{i}"] = dc(f"up{i}.conv")
+    params["out_conv"] = _conv(sd, "out_conv.0")
+    return params, stats
+
+
+def test_unet_large_logits_parity(fixed_input):
+    """Ported-weight flax UNetLarge == reference torch UNet_Large (eval,
+    fp32: bias-free ReLU DoubleConvs, factor-2 bottleneck, align-corners
+    bilinear up path without 1x1 convs, mid=concat//2 reductions, 1x1
+    head; reference model/unet_large.py:62-97, base_c=32)."""
+    ref_ul = _load_reference("ref_unet_large",
+                             f"{REFERENCE_ROOT}/model/unet_large.py")
+    from hpfg_tpu.models.unet import UNetLarge
+
+    torch.manual_seed(29)
+    tmodel = ref_ul.UNet_Large(in_channels=1, num_classes=4, base_c=32)
+    tmodel.eval()
+    x = fixed_input
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+
+    params, stats = port_unet_large_weights(tmodel.state_dict())
+    model = UNetLarge(in_channels=1, num_classes=4, base_c=32,
+                      dtype=jnp.float32)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Swin-MAE (reference model/swin_mae.py:560-810) — MAE pretraining model
+# ---------------------------------------------------------------------------
+
+def port_swin_mae_weights(sd, depths=(2, 2, 2, 2)) -> dict:
+    """Reference SwinMAE state_dict → models.swin_mae.SwinMAE params
+    (LN only, no batch stats). Same per-block scheme as
+    port_swinunet_weights but without the encoder./decoder. prefixes
+    and with mask_token + decoder_pred (swin_mae.py:590-600)."""
+    n = len(depths)
+    p = {"patch_embed": {"proj": _conv(sd, "patch_embed.proj"),
+                         "norm": _ln(sd, "patch_embed.norm")},
+         "mask_token": jnp.asarray(_np(sd["mask_token"])),
+         "first_patch_expanding": {
+             "expand": _dense_nobias(sd, "first_patch_expanding.expand"),
+             "norm": _ln(sd, "first_patch_expanding.norm")},
+         "norm_up": _ln(sd, "norm_up"),
+         "decoder_pred": _linear(sd, "decoder_pred")}
+    for i in range(n):
+        layer = {f"block{j}": _swin_block(sd, f"layers.{i}.blocks.{j}")
+                 for j in range(depths[i])}
+        if i != n - 1:
+            layer["downsample"] = {
+                "norm": _ln(sd, f"layers.{i}.downsample.norm"),
+                "reduction": _dense_nobias(
+                    sd, f"layers.{i}.downsample.reduction")}
+        p[f"layer{i}"] = layer
+    for i in range(n - 1):
+        depth_up = depths[n - i - 2]
+        layer = {f"block{j}": _swin_block(sd, f"layers_up.{i}.blocks.{j}")
+                 for j in range(depth_up)}
+        if i < n - 2:
+            layer["upsample"] = {
+                "expand": _dense_nobias(sd, f"layers_up.{i}.upsample.expand"),
+                "norm": _ln(sd, f"layers_up.{i}.upsample.norm")}
+        p[f"layer_up{i}"] = layer
+    return p
+
+
+def test_swin_mae_reconstruction_parity():
+    """Ported-weight flax SwinMAE == reference torch SwinMAE @224² with
+    mask_ratio=0 (the only deterministic masking setting — keep-all), eval
+    fp32: patch embed, 4 swin stages, patch-expand decoder, linear
+    per-patch prediction, unpatchify (reference swin_mae.py:803-810)."""
+    ref_sm = _load_reference("ref_swin_mae",
+                             f"{REFERENCE_ROOT}/model/swin_mae.py")
+    from hpfg_tpu.models.swin_mae import SwinMAE
+
+    # the reference uses the np.int/np.float aliases numpy>=1.24 removed
+    # (swin_mae.py window_masking / sincos table); restore them briefly
+    restored = [a for a in ("int", "float") if not hasattr(np, a)]
+    for a in restored:
+        setattr(np, a, {"int": int, "float": float}[a])
+    try:
+        torch.manual_seed(31)
+        tmodel = ref_sm.swin_mae(in_channels=3, mask_ratio=0.0)
+        tmodel.eval()
+        x = np.random.default_rng(37).normal(size=(1, 3, 224, 224)).astype(
+            np.float32)
+        with torch.no_grad():
+            t_pred, t_mask = tmodel(torch.from_numpy(x))
+    finally:
+        for a in restored:
+            if hasattr(np, a):
+                delattr(np, a)
+
+    params = port_swin_mae_weights(tmodel.state_dict())
+    model = SwinMAE(in_channels=3, mask_ratio=0.0, dtype=jnp.float32)
+    pred, mask = model.apply({"params": params},
+                             jnp.asarray(x.transpose(0, 2, 3, 1)),
+                             train=False)
+    assert float(jnp.abs(mask).max()) == 0.0 and float(
+        t_mask.abs().max()) == 0.0
+    np.testing.assert_allclose(np.asarray(pred).transpose(0, 3, 1, 2),
+                               t_pred.numpy(), atol=2e-3, rtol=1e-3)
