@@ -192,3 +192,22 @@ class TestReferenceInitParity:
         # reference init_weights: trunc_normal(std=.02) weight, zero bias
         assert k.std() == pytest.approx(0.02, rel=0.2)
         assert np.all(b == 0)
+
+    def test_cmt_torch_default_init(self):
+        """Reference CMT defines _init_weights but never self.apply's it
+        (model/cmt.py — only uniformer.py:290 applies), so every Linear/
+        Conv2d keeps torch defaults: kaiming_uniform(a=sqrt(5)) kernel +
+        uniform(+-1/sqrt(fan_in)) bias."""
+        from hpfg_tpu.models.cmt import CMTAttention
+
+        m = CMTAttention(dim=64, num_heads=2, sr_ratio=1)
+        v = m.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 8, 8, 64)),
+                   jnp.zeros((2, 64, 64)), train=False)
+        k = np.asarray(v["params"]["q"]["kernel"])
+        b = np.asarray(v["params"]["q"]["bias"])
+        bound = 1.0 / np.sqrt(k.shape[0])
+        assert np.abs(k).max() <= bound + 1e-6
+        assert k.std() == pytest.approx(bound / np.sqrt(3), rel=0.25)
+        assert np.abs(b).max() > 0.2 * bound
+        assert np.abs(b).max() <= bound + 1e-6
