@@ -22,6 +22,20 @@ from hpfg_tpu.models.unet import UNet, UNetLIDC, UNetLarge, UNetPlus
 
 MODELS = Registry("model")
 
+#: registry names whose __call__ returns the *_plus 3-tuple
+#: (logits, (g_high, d_high), (g_head, d_head)) that feature-contrastive
+#: algorithms (hpfg/ccnet) unpack (reference main.py:160 `ema_output,
+#: ema_h1, ema_h2 = ema_model(...)`)
+FEATURE_MODELS = frozenset({
+    "unet_plus", "swinunet_plus", "segformer_plus", "cmt_plus",
+    "uniformer_plus",
+})
+
+
+def returns_features(name: str) -> bool:
+    """True when the registry model returns (logits, h1, h2)."""
+    return str(name).lower() in FEATURE_MODELS
+
 MODELS.register("unet")(UNet)
 MODELS.register("unet_plus")(UNetPlus)
 MODELS.register("unet_large")(UNetLarge)

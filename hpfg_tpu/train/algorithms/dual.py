@@ -49,6 +49,10 @@ class DualAlgorithm(Algorithm):
                   "warmup_epochs", "warmup_lr", "min_lr", "total_itrs",
                   "step_size")
 
+    #: set True by algorithms (hpfg) whose loss unpacks the *_plus
+    #: (logits, h1, h2) output triple from both students
+    requires_features = False
+
     def __init__(self, cfg, dtype=jnp.float32):
         super().__init__(cfg, dtype)
         cfg1, cfg2 = cfg.get("model1"), cfg.get("model2")
@@ -64,6 +68,19 @@ class DualAlgorithm(Algorithm):
             for key in ("num_classes", "in_channels", "train_crop_size"):
                 if key not in sub and key in cfg:
                     sub[key] = cfg[key]
+        if self.requires_features:
+            from hpfg_tpu.models import returns_features
+
+            for sub in (cfg1, cfg2):
+                if not returns_features(sub.model):
+                    raise ValueError(
+                        f"algorithm {self.name!r} needs *_plus students that "
+                        f"return (logits, h1, h2) for its dense-contrastive "
+                        f"loss, but got model {sub.model!r} (logits only). "
+                        "The upstream config is broken the same way: "
+                        "main.py:160 unpacks 3 outputs and plain models "
+                        "(e.g. model/transunet.py:281-290) return one "
+                        "tensor. Use the *_plus variant of the model.")
         self.net1 = self._build(cfg1)
         self.net2 = self._build(cfg2)
         self.tx1, self.schedule1 = build_optimizer(cfg1)

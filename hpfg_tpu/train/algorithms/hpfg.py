@@ -43,6 +43,7 @@ from hpfg_tpu.train.algorithms.dual import DualAlgorithm, TeacherDualState
 @ALGORITHMS.register("hpfg")
 class HPFG(DualAlgorithm):
     name = "hpfg"
+    requires_features = True  # both students must be *_plus models
     mt_gate_iters: int = 1000
     cps_scale: float = 7.0
     backbone_keys = ("encoder", "decoder")

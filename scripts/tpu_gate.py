@@ -49,6 +49,29 @@ GATE_CONFIGS = (
     "configs/ccnet_swinunet_30k_224x224_ACDC.yaml",
 )
 
+# HPFG_GATE_EXTENDED=1 also compiles the non-Pallas model towers and the
+# remaining algorithm families — transformer towers lower through their own
+# Mosaic/layout paths (CMT SR attention, TransUNet ViT, UniFormer SA,
+# Swin-MAE decoder) even without custom kernels. Kept opt-in so the default
+# gate stays fast for per-flag A/B chains.
+EXTENDED_CONFIGS = (
+    "configs/ccnet_cmt_30k_224x224_ACDC.yaml",
+    # NOT ccnet_transunet: broken upstream (plain transunet returns logits
+    # only; main.py:160 unpacks 3) — we raise a clear ValueError at build
+    # time instead (tests/test_entry_scripts.py). transunet's lowering is
+    # covered by the supervised LIDC config below.
+    "configs/transunet_30k_96x96_LIDC.yaml",
+    "configs/ccnet_uniformer_30k_224x224_ACDC.yaml",
+    "configs/ctct_unet_segformer_30k_224x224_ACDC.yaml",
+    "configs/ssnet_unet_30k_224x224_ACDC.yaml",
+    "configs/uncertainty_aware_unet_30k_224x224_ACDC.yaml",
+    "configs/ict-medseg_unet_30k_224x224_ACDC.yaml",
+    "configs/cps_unet_30k_224x224_ACDC.yaml",
+    "configs/swinmae_30k_224x224_ACDC.yaml",
+)
+if os.environ.get("HPFG_GATE_EXTENDED", "0") == "1":
+    GATE_CONFIGS = GATE_CONFIGS + EXTENDED_CONFIGS
+
 
 def make_batch(cfg, algo_name: str) -> dict:
     rng = np.random.default_rng(0)

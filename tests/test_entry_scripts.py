@@ -86,6 +86,22 @@ def test_ccnet_flat_schema_one_step(synthetic_acdc):
     assert np.isfinite(float(np.asarray(metrics["loss"])))
 
 
+def test_ccnet_featureless_model_fails_fast():
+    """ccnet_transunet names plain transunet, which returns logits only —
+    upstream this crashes deep inside main.py:160 (3-way unpack); here the
+    trainer build raises a clear ValueError naming the *_plus requirement."""
+    import pytest
+
+    from hpfg_tpu.config import load_config
+    from hpfg_tpu.train.algorithms import build_algorithm
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "ccnet_transunet_30k_224x224_ACDC.yaml")
+    cfg = load_config(cfg_path)
+    with pytest.raises(ValueError, match=r"\*_plus"):
+        build_algorithm(cfg.algorithm, cfg)
+
+
 def test_config_yaml_files_parse():
     from hpfg_tpu.config import load_config
 
