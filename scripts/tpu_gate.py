@@ -31,8 +31,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # guard at import time too (not just in main): CPU AOT cache entries
+    # reload with mismatched machine features and can SIGILL (CLAUDE.md);
+    # importing this module under JAX_PLATFORMS=cpu must not enable the
+    # cache. (Env check, not jax.default_backend() — backend init hangs
+    # when the TPU tunnel is down, and _require_live_device must be the
+    # first thing that touches the backend.)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_default_prng_impl", "rbg")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
