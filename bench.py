@@ -23,15 +23,10 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 # rbg is the TPU-native counter PRNG: threefry dropout-mask generation costs
 # ~20% of the UNet train step (measured); parity is distributional anyway.
 jax.config.update("jax_default_prng_impl", "rbg")
@@ -39,6 +34,7 @@ jax.config.update("jax_default_prng_impl", "rbg")
 from hpfg_tpu.config import Config
 from hpfg_tpu.parallel.mesh import get_mesh, shard_batch
 from hpfg_tpu.train.algorithms import build_algorithm
+from hpfg_tpu.utils.runtime import enable_persistent_cache, require_live_device
 
 A100_REF_IMG_PER_SEC = 800.0  # estimated PyTorch reference on A100 (see docstring)
 
@@ -49,31 +45,11 @@ WARMUP = 10
 ITERS = 50
 
 
-def _require_live_device(deadline_s: float = 300.0) -> None:
-    """Fail fast (clear message, rc=2) instead of hanging forever when the
-    TPU tunnel is unreachable — jax.devices()/the first Execute block
-    indefinitely on a dead tunnel, which would wedge the driver's bench run."""
-    import sys
-    import threading
-
-    ok = threading.Event()
-
-    def probe():
-        x = jnp.ones((8, 8))
-        float(np.asarray(x @ x)[0, 0])  # compile + execute + readback
-        ok.set()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(deadline_s)
-    if not ok.is_set():
-        print(f"bench.py: no response from the accelerator within "
-              f"{deadline_s:.0f}s — backend/tunnel down?", file=sys.stderr)
-        os._exit(2)
-
-
 def main():
-    _require_live_device()
+    require_live_device("bench.py")
+    # cache only for non-CPU backends (XLA:CPU AOT entries can SIGILL on
+    # reload, CLAUDE.md); decided from the now-live backend
+    enable_persistent_cache(platform=jax.devices()[0].platform)
     cfg = Config(
         datasets="acdc", num_classes=4, in_channels=1,
         train_crop_size=[HW, HW], test_crop_size=[HW, HW],

@@ -376,29 +376,32 @@ def _im2col_dy_windows(left, right, dy, th, c, w, pix):
     return lw, rw
 
 
-def _shift_chunk_conv(ext, wbig_ref, *, c, f, w, pix, mm):
-    """One chunk's conv output [TH, W*F] in the SHIFT im2col form.
+def _shift_operands(ext, c, w, pix, mm):
+    """SHIFT-form im2col operands for one extended chunk — the ONE
+    constructor shared by the forward conv (_shift_chunk_conv) and the
+    weight gradient (_wgrad_kernel): both must build bit-identical operands
+    or dW silently diverges from the forward (a failure class the interpret
+    suite can mask).
 
-    ext: [TH+2, W*C] fp32 extended rows (transform already applied). The
-    chunk group-reshapes ONCE to [(TH+2)*G, pix*C] (G = W/pix; lane-aligned
-    by choose_pix) and casts to the matmul dtype once. Each dy slab's 'own'
-    operand is a static sublane slice (K = pix*C — exactly one full MXU
-    K-pass at pix*C=128); the six halo columns are narrow slices of the
-    +-1-sublane-shifted group rows, pre-masked so the per-row SAME boundary
-    contributes zeros, packed into ONE [M, 6C] operand (a single K-pass).
-    No lane rolls, no full-width concats."""
+    ext: [TH+2, W*C] fp32 extended rows. Group-reshapes ONCE to
+    [(TH+2)*G, pix*C] (G = W/pix; lane-aligned by choose_pix) and casts to
+    the matmul dtype once. Returns (grp, halo, g, m): dy slab i's 'own'
+    operand is the static sublane slice grp[i*G : i*G+M] (K = pix*C —
+    exactly one full MXU K-pass at pix*C=128); halo is the packed [M, 6C]
+    operand (columns [left|right] per dy slab) of the six boundary-masked
+    halo columns (a single K-pass). No lane rolls, no full-width concats.
+
+    Halo source columns: ONE narrow lane slice each, masked at the group
+    boundary (left operand row j sources group-row s+j-1, whose value must
+    vanish when output group g = j%G == 0, i.e. source%G == G-1; right
+    symmetric). If Mosaic ever rejects the int remainder for a
+    non-power-of-2 G, swap ridx%g for a periodic iota:
+    broadcasted_iota(int32, (the, g, c), 1).reshape(the*g, c)."""
     the = ext.shape[0]
     th = the - 2
     g = w // pix
     m = th * g
     grp = ext.reshape(the * g, pix * c).astype(mm)
-    kown = pix * c
-    # halo source columns: ONE narrow lane slice each, masked at the group
-    # boundary (left operand row j sources group-row s+j-1, whose value
-    # must vanish when output group g = j%G == 0, i.e. source%G == G-1;
-    # right symmetric). If Mosaic ever rejects the int remainder for a
-    # non-power-of-2 G, swap ridx%g for a periodic iota:
-    # broadcasted_iota(int32, (the, g, c), 1).reshape(the*g, c).
     ridx = jax.lax.broadcasted_iota(jnp.int32, (the * g, c), 0)
     zero = jnp.zeros((), mm)
     lcol = jnp.where(ridx % g == g - 1, zero, grp[:, (pix - 1) * c:])
@@ -416,8 +419,18 @@ def _shift_chunk_conv(ext, wbig_ref, *, c, f, w, pix, mm):
         else:
             right = jnp.concatenate([rcol[s + 1:], zrow], axis=0)
         halos += [left, right]
+    return grp, jnp.concatenate(halos, axis=1), g, m
+
+
+def _shift_chunk_conv(ext, wbig_ref, *, c, f, w, pix, mm):
+    """One chunk's conv output [TH, W*F] in the SHIFT im2col form: the
+    shared operands contracted against the expand_weights_shift rows
+    (own blocks [i*pix*C, (i+1)*pix*C), packed halo block trailing 6C)."""
+    th = ext.shape[0] - 2
+    grp, halo, g, m = _shift_operands(ext, c, w, pix, mm)
+    kown = pix * c
     o = jax.lax.dot_general(
-        jnp.concatenate(halos, axis=1), wbig_ref[3 * kown:],
+        halo, wbig_ref[3 * kown:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)          # [M, pix*F]
     for i in range(3):
@@ -1005,34 +1018,19 @@ def _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, seed_ref,
         bgrp = dpre_ref[0, y0:y0 + th].astype(mm).reshape(
             th * w // pix, pix * f)                      # [TH*W/pix, pix*F]
         if _IM2COL == "shift":
-            # same operand construction as _shift_chunk_conv, contraction
+            # the SHARED operand constructor (_shift_operands), contraction
             # transposed: own blocks land on rows [i*pix*C, (i+1)*pix*C),
             # the packed halo on the trailing 6C rows (row count equals the
             # roll form's 3*(pix+2)*C, so out_ref is shared; the fold
             # differs — _fold_wgrad branches on the same flag).
-            g = w // pix
-            m = th * g
-            grp = ext.reshape((th + 2) * g, pix * c).astype(mm)
-            ridx = jax.lax.broadcasted_iota(jnp.int32, ((th + 2) * g, c), 0)
-            zero = jnp.zeros((), mm)
-            lcol = jnp.where(ridx % g == g - 1, zero, grp[:, (pix - 1) * c:])
-            rcol = jnp.where(ridx % g == 0, zero, grp[:, :c])
-            zrow = jnp.zeros((1, c), mm)
-            halos = []
+            grp, halo, g, m = _shift_operands(ext, c, w, pix, mm)
             for i in range(3):
-                s = i * g
-                left = (jnp.concatenate([zrow, lcol[:m - 1]], axis=0)
-                        if s == 0 else lcol[s - 1:s - 1 + m])
-                right = (rcol[s + 1:s + 1 + m]
-                         if s + 1 + m <= (th + 2) * g
-                         else jnp.concatenate([rcol[s + 1:], zrow], axis=0))
-                halos += [left, right]
                 out_ref[i * pix * c:(i + 1) * pix * c] += jax.lax.dot_general(
-                    grp[s:s + m], bgrp,
+                    grp[i * g:i * g + m], bgrp,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [pix*C, pix*F]
             out_ref[3 * pix * c:] += jax.lax.dot_general(
-                jnp.concatenate(halos, axis=1), bgrp,
+                halo, bgrp,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # [6C, pix*F]
             continue

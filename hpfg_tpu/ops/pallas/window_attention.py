@@ -117,16 +117,9 @@ def _qkv_spec(blk, l, c):
                         memory_space=pltpu.VMEM)
 
 
-def _seed_arr(seed):
-    # int32 in SMEM: Mosaic lowers i32->u32 but has NO f32->u32 cast (the
-    # conv_block round-2 lesson); convert from the f32 API scalar in XLA.
-    if seed is None:
-        return jnp.zeros((1,), jnp.int32)
-    return jnp.asarray(seed, jnp.int32).reshape(1)
-
-
-def _seed_spec():
-    return pl.BlockSpec(memory_space=pltpu.SMEM)
+# seed marshalling (int32 in SMEM — Mosaic has no f32->u32 cast) is shared
+# with the conv kernels: ONE copy of the round-2 lesson
+from hpfg_tpu.ops.pallas.conv_block import _seed_arr, _seed_spec  # noqa: E402
 
 
 def _forward_call(q, k, v, bias, mask, seed, heads, interpret, drop):

@@ -1,0 +1,82 @@
+"""Process-level runtime guards shared by the entry points.
+
+bench.py, scripts/tpu_gate.py, scripts/run.py and __graft_entry__.py all
+need the same two guards; the round-2/3 incident class behind both lives
+here so there is exactly ONE copy:
+
+* the persistent XLA compile cache must NEVER be enabled for CPU compiles —
+  XLA:CPU AOT entries reload with mismatched host machine features and
+  SIGILL the process (CLAUDE.md). Setting the JAX_COMPILATION_CACHE_DIR env
+  var before ``import jax`` silently enables the cache regardless of any
+  later ``jax.config.update`` guard (jax reads the env var as the config
+  default at import), so entry points must use this helper INSTEAD of the
+  env var.
+* the dev TPU sits behind a tunnel; when it is down, ``jax.devices()`` /
+  the first Execute block forever. Unattended callers (the driver's bench
+  run, the recovery chain's gate run) need a fail-fast probe.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+def enable_persistent_cache(platform: str | None = None) -> bool:
+    """Enable the on-disk XLA compile cache (<repo>/.jax_cache) when safe.
+
+    Decision modes:
+      * ``platform=None`` — decide from the JAX_PLATFORMS env var, enabling
+        only for an EXPLICITLY non-cpu platform string. An unset var may
+        resolve to the cpu backend on other hosts, so it stays off; a
+        fallback list containing cpu (``"tpu,cpu"``) also stays off. This
+        mode never touches a backend, so it is safe before
+        ``jax.distributed`` init and before dryrun_multichip's
+        virtual-device setup.
+      * ``platform='tpu'|'cpu'|...`` — decide from a live backend's
+        platform string (callers that already initialized the backend).
+
+    Returns True iff the cache was enabled.
+    """
+    import jax
+
+    if platform is None:
+        plat = os.environ.get("JAX_PLATFORMS", "").lower()
+        if not plat or "cpu" in plat:
+            return False
+    elif platform == "cpu":
+        return False
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo_root(), ".jax_cache"))
+    return True
+
+
+def require_live_device(tag: str, deadline_s: float = 300.0) -> None:
+    """Fail fast (clear message, rc=2) instead of hanging forever when the
+    accelerator is unreachable — jax.devices()/the first Execute block
+    indefinitely on a dead tunnel, which would wedge the driver's bench run
+    or the unattended recovery chain."""
+    import sys
+    import threading
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    ok = threading.Event()
+
+    def probe():
+        x = jnp.ones((8, 8))
+        float(np.asarray(x @ x)[0, 0])  # compile + execute + readback
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(deadline_s)
+    if not ok.is_set():
+        print(f"{tag}: no response from the accelerator within "
+              f"{deadline_s:.0f}s — backend/tunnel down?", file=sys.stderr)
+        os._exit(2)

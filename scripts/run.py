@@ -22,16 +22,13 @@ def run(default_config: str, algorithm: str | None = None, argv=None):
     import jax
     import jax.numpy as jnp
 
-    # persistent compile cache for accelerator runs only — XLA:CPU AOT
-    # entries reload with mismatched machine features and can SIGILL
-    if "cpu" not in os.environ.get("JAX_PLATFORMS", "").lower():
-        os.environ.setdefault(
-            "JAX_COMPILATION_CACHE_DIR",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), ".jax_cache"))
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    # persistent compile cache for EXPLICITLY non-cpu platforms only (env
+    # mode: the backend must stay uninitialized until after the distributed
+    # setup below) — XLA:CPU AOT entries reload with mismatched machine
+    # features and can SIGILL (hpfg_tpu/utils/runtime.py)
+    from hpfg_tpu.utils.runtime import enable_persistent_cache
 
+    enable_persistent_cache()
 
     from hpfg_tpu.config import parse_config
     from hpfg_tpu.train.algorithms import build_algorithm

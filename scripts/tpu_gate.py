@@ -23,27 +23,21 @@ import sys
 import time
 import traceback
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    # guard at import time too (not just in main): CPU AOT cache entries
-    # reload with mismatched machine features and can SIGILL (CLAUDE.md);
-    # importing this module under JAX_PLATFORMS=cpu must not enable the
-    # cache. (Env check, not jax.default_backend() — backend init hangs
-    # when the TPU tunnel is down, and _require_live_device must be the
-    # first thing that touches the backend.)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_default_prng_impl", "rbg")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+# The compile cache is enabled in main() AFTER the backend probe, from the
+# live backend's platform (hpfg_tpu.utils.runtime.enable_persistent_cache):
+# setting the JAX_COMPILATION_CACHE_DIR env var before `import jax` would
+# enable the cache even under JAX_PLATFORMS=cpu (jax reads the env var as
+# the config default at import), and CPU AOT cache entries reload with
+# mismatched machine features and can SIGILL (CLAUDE.md).
 
 # Every config whose train step reaches a Pallas kernel under jax.grad:
 # fused ConvBlock (+ in-kernel hash dropout) via every unet family model,
@@ -235,37 +229,14 @@ def numeric_checks() -> list[dict]:
     return checks
 
 
-def _require_live_device(deadline_s: float = 300.0) -> None:
-    """Fail fast (clear message, rc=2) instead of hanging forever when the
-    TPU tunnel is unreachable — jax.devices()/the first Execute block
-    indefinitely on a dead tunnel, which would wedge the unattended
-    recovery chain that runs this gate first (same guard as bench.py)."""
-    import threading
-
-    alive = threading.Event()
-
-    def probe():
-        x = jnp.ones((8, 8))
-        float(np.asarray(x @ x)[0, 0])  # compile + execute + readback
-        alive.set()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(deadline_s)
-    if not alive.is_set():
-        print(f"tpu_gate: no response from the accelerator within "
-              f"{deadline_s:.0f}s — backend/tunnel down?", file=sys.stderr)
-        os._exit(2)
-
-
 def main() -> int:
-    _require_live_device()
+    from hpfg_tpu.utils.runtime import (enable_persistent_cache,
+                                        require_live_device)
+
+    require_live_device("tpu_gate")
     results, ok = [], True
     platform = jax.devices()[0].platform
-    if platform == "cpu":
-        # XLA:CPU AOT cache entries reload with mismatched machine features
-        # and can SIGILL (CLAUDE.md); the cache is safe only for TPU.
-        jax.config.update("jax_compilation_cache_dir", None)
+    enable_persistent_cache(platform=platform)
     for cfg_path in GATE_CONFIGS:
         print(f"[gate] {cfg_path} ...", flush=True)
         try:

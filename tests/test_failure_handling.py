@@ -102,3 +102,39 @@ class TestRotatingCheckpoint:
         m.save_rotating({"step": jnp.asarray(7)})
         m.wait()
         assert m.exists("last_a") and not m.exists("last_b")
+
+
+class TestPersistentCacheGuard:
+    """enable_persistent_cache must NEVER turn the on-disk XLA cache on for
+    CPU compiles (XLA:CPU AOT entries SIGILL on reload, CLAUDE.md) — and
+    the decision must not rely on env vars read at jax-import time."""
+
+    def test_env_mode_stays_off_for_cpu_or_unset(self, monkeypatch):
+        from hpfg_tpu.utils.runtime import enable_persistent_cache
+
+        for plat in ("cpu", "CPU", "tpu,cpu", ""):
+            monkeypatch.setenv("JAX_PLATFORMS", plat)
+            assert enable_persistent_cache() is False
+        monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+        assert enable_persistent_cache() is False
+        assert enable_persistent_cache(platform="cpu") is False
+
+    def test_enables_for_explicit_accelerator(self, monkeypatch):
+        import jax
+
+        from hpfg_tpu.utils.runtime import (enable_persistent_cache,
+                                            repo_root)
+
+        before = jax.config.jax_compilation_cache_dir
+        try:
+            monkeypatch.setenv("JAX_PLATFORMS", "axon")
+            assert enable_persistent_cache() is True
+            assert jax.config.jax_compilation_cache_dir.endswith(".jax_cache")
+            assert repo_root() in jax.config.jax_compilation_cache_dir
+            jax.config.update("jax_compilation_cache_dir", None)
+            assert enable_persistent_cache(platform="tpu") is True
+        finally:
+            # restore: leaving the cache enabled would poison later CPU
+            # compiles in this very suite
+            jax.config.update("jax_compilation_cache_dir", before)
+        assert jax.config.jax_compilation_cache_dir == before

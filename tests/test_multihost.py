@@ -65,11 +65,16 @@ def _join_all(procs):
     deadline = time.monotonic() + _DEADLINE
     for t in threads:
         t.join(timeout=max(0.0, deadline - time.monotonic()))
-    for p, out in zip(procs, outs):
-        if p.poll() is None:
+    hung = [p for p in procs if p.poll() is None]
+    if hung:
+        # kill EVERY unfinished worker before raising: an orphaned worker's
+        # multi-minute XLA compile loop serializes against the rest of the
+        # suite on this 1-core host
+        for p in hung:
             p.kill()
-            raise AssertionError(
-                f"worker did not finish within {_DEADLINE}s")
+        raise AssertionError(
+            f"{len(hung)} worker(s) did not finish within {_DEADLINE}s")
+    for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
     return outs
 
