@@ -265,12 +265,35 @@ def expand_weights_shift(w: jax.Array, pix: int) -> jax.Array:
     return jnp.concatenate([own, halo.reshape(6 * c, pix * f)], axis=0)
 
 
+def expand_weights_shift_cat(wa: jax.Array, wb: jax.Array,
+                             pix: int) -> jax.Array:
+    """[3,3,Ca,F] + [3,3,Cb,F] -> [3*pix*(Ca+Cb) + 6*(Ca+Cb), pix*F] for
+    the dual-input SHIFT kernels (UpBlock concat fold). Per-input own slabs
+    stay separate — rows [own_a | own_b] with own_b's dy slab i at
+    3*pix*Ca + i*pix*Cb — so each input contracts its own grp operand in a
+    full dense K-pass; the trailing halo block is [halo_a | halo_b],
+    matching the kernel's concat([halo_a, halo_b], axis=1) operand. Total
+    rows equal expand_weights_cat's 3*(pix+2)*(Ca+Cb) (shared out_ref /
+    wgrad shapes across forms)."""
+    ca, cb = wa.shape[2], wb.shape[2]
+    ea, eb = expand_weights_shift(wa, pix), expand_weights_shift(wb, pix)
+    return jnp.concatenate([ea[:3 * pix * ca], eb[:3 * pix * cb],
+                            ea[3 * pix * ca:], eb[3 * pix * cb:]], axis=0)
+
+
 def _expand1(w: jax.Array, pix: int) -> jax.Array:
     """Weight expansion for the SINGLE-input conv kernels in the active
     im2col form (the kernels branch on the same module flag at trace
     time, so operand and weight layouts always agree)."""
     return (expand_weights_shift(w, pix) if _IM2COL == "shift"
             else expand_weights(w, pix))
+
+
+def _expand_cat(wa: jax.Array, wb: jax.Array, pix: int) -> jax.Array:
+    """Dual-input weight expansion in the active im2col form (_expand1's
+    counterpart for the concat-folded conv1)."""
+    return (expand_weights_shift_cat(wa, wb, pix) if _IM2COL == "shift"
+            else expand_weights_cat(wa, wb, pix))
 
 
 # ---------------------------------------------------------------------------
@@ -441,6 +464,34 @@ def _shift_chunk_conv(ext, wbig_ref, *, c, f, w, pix, mm):
     return o.reshape(th, w * f)
 
 
+def _shift_chunk_conv_cat(ext, ext2, wbig_ref, *, c, c2, f, w, pix, mm):
+    """Dual-input SHIFT conv chunk [TH, W*F]: each input's own slabs
+    contract against their separate weight blocks (K = pix*C per pass, both
+    halves lane-aligned by choose_pix_cat), and BOTH packed halo operands
+    join in one [M, 6*(C+C2)] pass — weight layout from
+    expand_weights_shift_cat. The [B,H,W,Ca+Cb] interleave never exists and
+    no full-width concat is built (the halo concat is 6*(C+C2) lanes)."""
+    th = ext.shape[0] - 2
+    grp_a, halo_a, g, m = _shift_operands(ext, c, w, pix, mm)
+    grp_b, halo_b, _, _ = _shift_operands(ext2, c2, w, pix, mm)
+    ka, kb = pix * c, pix * c2
+    o = jax.lax.dot_general(
+        jnp.concatenate([halo_a, halo_b], axis=1), wbig_ref[3 * (ka + kb):],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [M, pix*F]
+    for i in range(3):
+        o = o + jax.lax.dot_general(
+            grp_a[i * g:i * g + m], wbig_ref[i * ka:(i + 1) * ka],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o = o + jax.lax.dot_general(
+            grp_b[i * g:i * g + m],
+            wbig_ref[3 * ka + i * kb:3 * ka + (i + 1) * kb],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return o.reshape(th, w * f)
+
+
 def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h, pix,
                transform, dtype, post=None, x2_ref=None, c2=0):
     """Chunked packed-row 3x3 SAME conv over one image.
@@ -459,11 +510,15 @@ def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h, pix,
     """
     th = _row_chunk(h, w * max(c + c2, f))
     kdy = (pix + 2) * (c + c2)
-    use_shift = _IM2COL == "shift" and x2_ref is None
+    use_shift = _IM2COL == "shift"
     mm = x_ref.dtype if x_ref.dtype != jnp.float32 else jnp.float32
     for y0 in range(0, h, th):
         ext = _padded_rows(x_ref, y0, th, h, transform)  # fp32 (rolls)
-        if use_shift:
+        if use_shift and x2_ref is not None:
+            ext2 = _padded_rows(x2_ref, y0, th, h, lambda r, lo, hi: r)
+            o = _shift_chunk_conv_cat(ext, ext2, wbig_ref, c=c, c2=c2, f=f,
+                                      w=w, pix=pix, mm=mm)
+        elif use_shift:
             o = _shift_chunk_conv(ext, wbig_ref, c=c, f=f, w=w, pix=pix,
                                   mm=mm)
         else:
@@ -826,8 +881,8 @@ def _forward(x, params: ConvBlockParams, mask, run_stats, train: bool,
         b2vec = jnp.tile(params.b2.astype(jnp.float32), w)
 
         pix1 = choose_pix_cat(w, ca, cb, f)
-        w1 = expand_weights_cat(params.w1[:, :, :ca].astype(dtype),
-                                params.w1[:, :, ca:].astype(dtype), pix1)
+        w1 = _expand_cat(params.w1[:, :, :ca].astype(dtype),
+                         params.w1[:, :, ca:].astype(dtype), pix1)
         b1vec = jnp.tile(params.b1.astype(jnp.float32), w)
         h2, sums1 = _conv_stats_cat(_pack(xa), _pack(xb), w1, b1vec, ca=ca,
                                     cb=cb, f=f, h=h, w=w, pix=pix1,

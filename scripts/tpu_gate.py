@@ -188,14 +188,20 @@ def numeric_checks() -> list[dict]:
         return y, st.mean1, st.var2
     checks.append(_cmp("convblock_single_bf16", run1b(False), run1b(True)))
 
-    # 2. dual-input (UpBlock concat-fold) fwd
+    # 2. dual-input (UpBlock concat-fold) fwd + custom-VJP grads: the pair
+    #    backward runs per-half single-input dgrad/wgrad, and with
+    #    HPFG_IM2COL=shift the forward takes _shift_chunk_conv_cat /
+    #    expand_weights_shift_cat — both must compute, not just lower
     pa, xa, xb = params(32, 16), arr(2, 16, 16, 16), arr(2, 16, 16, 16)
-    checks.append(_cmp(
-        "convblock_dual",
-        cb.fused_conv_block((xa, xb), pa, None, None, True, False, None,
-                            None)[0],
-        cb.fused_conv_block((xa, xb), pa, None, None, True, True, None,
-                            None)[0]))
+
+    def run2(interp):
+        def loss(pair, p):
+            y, st = cb.fused_conv_block(pair, p, None, None, True, interp,
+                                        None, None)
+            return jnp.sum(y ** 2) + jnp.sum(st.mean1) + jnp.sum(st.var2)
+        l, grads = jax.value_and_grad(loss, argnums=(0, 1))((xa, xb), pa)
+        return (l,) + grads
+    checks.append(_cmp("convblock_dual+vjp", run2(False), run2(True)))
 
     # 3. C=1 stem path (in-kernel lane expand)
     p1, x1 = params(1, 16), arr(2, 16, 16, 1)

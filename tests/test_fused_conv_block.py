@@ -210,16 +210,42 @@ class TestShiftIm2col:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=2e-3, rtol=1e-3, err_msg=name)
 
-    def test_dual_input_falls_back_to_roll(self):
-        """The cat kernel has no shift form; the pair path must stay exact
-        with the flag on (x2_ref branch ignores the flag)."""
-        params, xa, xb, _, _ = _dual_data(16, 16, 16, seed=77)
+    @pytest.mark.parametrize("ca,cb,f", [(16, 16, 16), (32, 16, 32)])
+    def test_dual_input_forward_and_vjp_match_reference(self, ca, cb, f):
+        """The dual-input (concat-fold) path in SHIFT form: forward via
+        _shift_chunk_conv_cat + expand_weights_shift_cat, backward via the
+        per-half single-input shift dgrad/wgrad — both must match the
+        concat reference exactly."""
+        params, xa, xb, mask, dy = _dual_data(ca, cb, f, seed=77 + ca + f)
         xcat = jnp.concatenate([xa, xb], axis=-1)
-        y_ref, _ = conv_block_reference(xcat, params, None, True, None)
-        y, _, _, _ = _forward((xa, xb), params, None, None, True,
-                              interpret=True)
+        y_ref, st_ref = conv_block_reference(xcat, params, None, True, None)
+        y, _, _, st = _forward((xa, xb), params, None, None, True,
+                               interpret=True)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    atol=1e-3)
+        for a, b in zip(st, st_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3)
+
+        pm = mask.reshape(mask.shape[0], mask.shape[1], -1)
+        ga_r, gb_r, gp_r = jax.grad(
+            lambda a, b, p: jnp.sum(conv_block_reference(
+                jnp.concatenate([a, b], axis=-1), p, mask, True, None)[0]
+                * dy),
+            argnums=(0, 1, 2))(xa, xb, params)
+        (ga_f, gb_f), gp_f = jax.grad(
+            lambda pair, p: jnp.sum(fused_conv_block(
+                pair, p, pm, None, True, True, None, None)[0] * dy),
+            argnums=(0, 1))((xa, xb), params)
+        np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_r),
+                                   atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_r),
+                                   atol=1e-4, rtol=1e-3)
+        for name in ("w1", "w2", "scale1", "bias1", "scale2", "bias2"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(gp_f, name)),
+                np.asarray(getattr(gp_r, name)),
+                atol=2e-3, rtol=1e-3, err_msg=name)
 
 
 def test_supported_shapes():
