@@ -538,3 +538,71 @@ class TestHashDropout:
         # different images/seeds decorrelate
         m2 = np.asarray(hash_mask_reference(99.0, 1, 64, 512, keep))
         assert 0.5 < ((m > 0) == (m2 > 0)).mean() < 0.75
+
+
+def test_unet_all_perf_flags_wiring(monkeypatch):
+    """Full-model guard for the round-3 perf-flag COMBINATION at UNet level
+    (interpret mode, dropout zeroed). Two invariants hold on arbitrary data:
+
+    * FORWARD + batch stats with every flag on (forced fused + pair fold +
+      in-kernel C=1 stem + SHIFT im2col) match the plain flax path — the
+      forward is kink-continuous, so tight tolerances are well-posed.
+    * GRADIENTS with the pair fold and stem expand on are EXACTLY those of
+      the same-im2col-form fused baseline, for both roll and shift forms —
+      these flags are algebraic reorganizations with identical summation
+      order, so any wiring bug (UpBlock pair routing, stem expand, shift
+      cat weight layout) shows as a nonzero diff.
+
+    Grad-vs-flax (and shift-vs-roll grad) equality is deliberately NOT
+    asserted at model level: fp32 summation-order differences flip LeakyReLU
+    kink branches on random data and produce legitimate O(0.1) subgradient
+    differences (measured; the per-kernel tests pin those equalities on
+    kink-safe data instead)."""
+    from hpfg_tpu.models.unet import UNet
+    from hpfg_tpu.ops.pallas import conv_block as cb
+
+    model = UNet(in_channels=1, num_classes=4, dropout=(0.0,) * 5,
+                 dtype=jnp.float32)
+    x = jnp.asarray(rng_np.normal(size=(2, 32, 32, 1)), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x, train=True)
+
+    def run(fused, pair, stem, form):
+        layers.set_fused_conv(fused)
+        monkeypatch.setattr(layers, "_FUSED_PAIR", pair)
+        monkeypatch.setattr(layers, "_FUSED_STEM", stem)
+        cb.set_im2col_form(form)
+        try:
+            y, mut = model.apply(variables, x, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(2)},
+                                 mutable=["batch_stats"])
+            g = jax.grad(lambda p: jnp.sum(model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                x, train=True, rngs={"dropout": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"])[0] ** 2))(variables["params"])
+            return y, mut["batch_stats"], g
+        finally:
+            layers.set_fused_conv(None)
+            cb.set_im2col_form("roll")
+
+    y_flax, st_flax, _ = run(None, False, False, "roll")
+    y_all, st_all, _ = run(True, True, True, "shift")
+    np.testing.assert_allclose(np.asarray(y_all), np.asarray(y_flax),
+                               atol=2e-3)
+    for a, b in zip(jax.tree.leaves(st_flax), jax.tree.leaves(st_all)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-3)
+
+    for form in ("roll", "shift"):
+        _, _, g_base = run(True, False, False, form)
+        _, _, g_flags = run(True, True, True, form)
+        base = jax.tree_util.tree_leaves_with_path(g_base)
+        flags = dict(jax.tree_util.tree_leaves_with_path(g_flags))
+        for path, a in base:
+            a = np.asarray(a)
+            # leaf-scale-normalized: the in-kernel stem expand computes the
+            # stem forward in a different fp32 order than the padded form,
+            # giving ~1e-7-relative grad noise — far below any wiring bug
+            tol = 1e-5 * max(float(np.max(np.abs(a))), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(flags[path]), a, atol=tol, rtol=0,
+                err_msg=f"{form}:{jax.tree_util.keystr(path)}")
