@@ -60,20 +60,34 @@ BN_EPS = 1e-5
 #             rolls, zero full-width concats, bf16 end-to-end.
 # A/B candidate for the 15.1 ms/step of conv._fused the r3 profile shows
 # against a 2-3 ms HBM roofline (BENCH_NOTES.md). The flag drives fwd conv,
-# dgrad AND wgrad (plus _fold_wgrad's matching fold); only the dual-input
-# (concat-fold) path is pinned to 'roll'.
+# dgrad, wgrad (plus _fold_wgrad's matching fold) AND the dual-input
+# (concat-fold) forward (_shift_chunk_conv_cat).
 _IM2COL = _os.environ.get("HPFG_IM2COL", "roll")
 if _IM2COL not in ("roll", "shift"):
     raise ValueError(f"unknown HPFG_IM2COL={_IM2COL!r} (roll | shift)")
 
+# HPFG_EXT_BF16=1 (A/B candidate, shift form only): keep the extended chunk
+# rows in the input dtype on identity-transform paths (conv1 fwd, dgrad,
+# wgrad-identity) instead of the fp32 roundtrip. The fp32 ext exists to
+# serve Mosaic's 32-bit-only lane rotate — the shift form has NO rolls, so
+# for bf16 inputs the fp32 trip is numerically a no-op (bf16→f32→bf16)
+# that costs whole-chunk VPU casts and 2x ext VMEM. BN-affine/dropout
+# transforms (conv2) and the C=1 stem MXU expand stay fp32. Off by default
+# pending TPU gate + bench (bf16 sublane slices at odd offsets retile the
+# (16, 128) packed tiles — cost unknown until measured).
+_EXT_BF16 = _os.environ.get("HPFG_EXT_BF16", "0") == "1"
 
-def set_im2col_form(form: str) -> None:
-    """Force the im2col construction ('roll' | 'shift'); tests/probes only —
-    takes effect at trace time, so flip it before (re)tracing."""
-    global _IM2COL
+
+def set_im2col_form(form: str, ext_bf16: bool | None = None) -> None:
+    """Force the im2col construction ('roll' | 'shift') and optionally the
+    shift-form ext dtype fast path; tests/probes only — takes effect at
+    trace time, so flip it before (re)tracing."""
+    global _IM2COL, _EXT_BF16
     if form not in ("roll", "shift"):
         raise ValueError(form)
     _IM2COL = form
+    if ext_bf16 is not None:
+        _EXT_BF16 = ext_bf16
 
 # Output pixels per MXU column group ("pix"). The expanded weight matrix
 # [3*(pix+2)*C, pix*F] has density 3/(pix+2) — smaller pix = denser MXU work
@@ -356,12 +370,15 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
-def _padded_rows(x_ref, y0, th, h, transform):
+def _padded_rows(x_ref, y0, th, h, transform, dtype=jnp.float32):
     """rows [y0-1, y0+th+1) of x_ref[0] (static bounds) with zero rows
     outside the image; ``transform(rows, lo, hi)`` (elementwise, may slice
-    sibling refs with the same static bounds) runs ONCE on the valid rows."""
+    sibling refs with the same static bounds) runs ONCE on the valid rows.
+    ``dtype``: row working dtype — fp32 by default (lane rolls and the
+    BN/dropout transforms need it); the shift form passes the input dtype
+    on identity-transform paths under HPFG_EXT_BF16."""
     lo, hi = max(y0 - 1, 0), min(y0 + th + 1, h)
-    body = transform(x_ref[0, lo:hi].astype(jnp.float32), lo, hi)
+    body = transform(x_ref[0, lo:hi].astype(dtype), lo, hi)
     parts = []
     if lo > y0 - 1:
         parts.append(jnp.zeros((lo - (y0 - 1), body.shape[1]), body.dtype))
@@ -493,7 +510,8 @@ def _shift_chunk_conv_cat(ext, ext2, wbig_ref, *, c, c2, f, w, pix, mm):
 
 
 def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h, pix,
-               transform, dtype, post=None, x2_ref=None, c2=0):
+               transform, dtype, post=None, x2_ref=None, c2=0,
+               identity_transform=False):
     """Chunked packed-row 3x3 SAME conv over one image.
 
     Reads x_ref[0] ([H, W*C]) in _row_chunk-row chunks (+-1 halo rows via
@@ -512,10 +530,16 @@ def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h, pix,
     kdy = (pix + 2) * (c + c2)
     use_shift = _IM2COL == "shift"
     mm = x_ref.dtype if x_ref.dtype != jnp.float32 else jnp.float32
+    # HPFG_EXT_BF16 + shift + identity transform: no rolls → no 32-bit
+    # constraint; bf16→f32→bf16 is numerically a no-op, skip the trip
+    ext_dt = (x_ref.dtype if (use_shift and identity_transform and _EXT_BF16)
+              else jnp.float32)
     for y0 in range(0, h, th):
-        ext = _padded_rows(x_ref, y0, th, h, transform)  # fp32 (rolls)
+        ext = _padded_rows(x_ref, y0, th, h, transform, dtype=ext_dt)
         if use_shift and x2_ref is not None:
-            ext2 = _padded_rows(x2_ref, y0, th, h, lambda r, lo, hi: r)
+            ext2 = _padded_rows(x2_ref, y0, th, h, lambda r, lo, hi: r,
+                                dtype=(x2_ref.dtype if _EXT_BF16
+                                       else jnp.float32))
             o = _shift_chunk_conv_cat(ext, ext2, wbig_ref, c=c, c2=c2, f=f,
                                       w=w, pix=pix, mm=mm)
         elif use_shift:
@@ -593,7 +617,8 @@ def _conv_stats_kernel(x_ref, wbig_ref, bvec_ref, h_ref, sums_ref, *,
     local = _new_local(want_stats, w * f)
     local = _conv_rows(x_ref, wbig_ref, bvec_ref, h_ref, local,
                        c=c, f=f, w=w, h=h, pix=pix,
-                       transform=lambda r, lo, hi: r, dtype=dtype)
+                       transform=lambda r, lo, hi: r, dtype=dtype,
+                       identity_transform=True)
     _flush_stats(sums_ref, local)
 
 
@@ -632,7 +657,7 @@ def _conv_stats_cat_kernel(x_ref, xb_ref, wbig_ref, bvec_ref, h_ref,
     local = _conv_rows(x_ref, wbig_ref, bvec_ref, h_ref, local,
                        c=c, f=f, w=w, h=h, pix=pix,
                        transform=lambda r, lo, hi: r, dtype=dtype,
-                       x2_ref=xb_ref, c2=cb)
+                       x2_ref=xb_ref, c2=cb, identity_transform=True)
     _flush_stats(sums_ref, local)
 
 
@@ -1039,7 +1064,8 @@ def _dgrad_kernel(dpre_ref, wbig_ref, mask_ref, seed_ref, out_ref, *, c, f,
         def post(o, lo, hi):
             return o * _kernel_mask_rows(seed_ref, lo, hi, w * f, drop)
     _conv_rows(dpre_ref, wbig_ref, None, out_ref, None, c=c, f=f, w=w, h=h,
-               pix=pix, transform=lambda r, lo, hi: r, dtype=dtype, post=post)
+               pix=pix, transform=lambda r, lo, hi: r, dtype=dtype, post=post,
+               identity_transform=True)
 
 
 def _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, seed_ref,
@@ -1068,8 +1094,10 @@ def _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, seed_ref,
 
     kdy = (pix + 2) * c
     mm = src_ref.dtype if src_ref.dtype != jnp.float32 else jnp.float32
+    ext_dt = (src_ref.dtype if (_IM2COL == "shift" and mode == "identity"
+                                and _EXT_BF16) else jnp.float32)
     for y0 in range(0, h, th):
-        ext = _padded_rows(src_ref, y0, th, h, transform)  # fp32 (rolls)
+        ext = _padded_rows(src_ref, y0, th, h, transform, dtype=ext_dt)
         bgrp = dpre_ref[0, y0:y0 + th].astype(mm).reshape(
             th * w // pix, pix * f)                      # [TH*W/pix, pix*F]
         if _IM2COL == "shift":

@@ -183,10 +183,15 @@ def numeric_checks() -> list[dict]:
         lambda a: a.astype(jnp.bfloat16) if getattr(a, "ndim", 0) else a, p)
 
     def run1b(interp):
-        y, st = cb.fused_conv_block(xb16, pb16, None, seed, True, interp,
-                                    0.8, None)
-        return y, st.mean1, st.var2
-    checks.append(_cmp("convblock_single_bf16", run1b(False), run1b(True)))
+        def loss(x, p):
+            y, st = cb.fused_conv_block(x, p, None, seed, True, interp,
+                                        0.8, None)
+            return (jnp.sum(y.astype(jnp.float32) ** 2)
+                    + jnp.sum(st.mean1) + jnp.sum(st.var2))
+        l, grads = jax.value_and_grad(loss, argnums=(0, 1))(xb16, pb16)
+        return (l,) + grads
+    checks.append(_cmp("convblock_single_bf16+vjp", run1b(False),
+                       run1b(True)))
 
     # 2. dual-input (UpBlock concat-fold) fwd + custom-VJP grads: the pair
     #    backward runs per-half single-input dgrad/wgrad, and with

@@ -210,6 +210,54 @@ class TestShiftIm2col:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=2e-3, rtol=1e-3, err_msg=name)
 
+    def test_ext_bf16_fast_path_is_exact(self):
+        """HPFG_EXT_BF16 (shift form only): skipping the fp32 ext roundtrip
+        on identity-transform paths (conv1 fwd, dgrad, wgrad-identity, dual
+        fwd) is bit-exact for bf16 inputs — the fp32 trip was a numeric
+        no-op. Compares flag on vs off through fwd + stats + full VJP with
+        in-kernel hash dropout active, and the dual forward."""
+        from hpfg_tpu.ops.pallas import conv_block as cb
+
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), _params(16, 32))
+        x = jnp.asarray(rng_np.normal(size=(2, 16, 16, 16)), jnp.bfloat16)
+        dy = jnp.asarray(rng_np.normal(size=(2, 16, 16, 32)), jnp.bfloat16)
+        seed = jnp.float32(7.0)
+
+        def run_single():
+            y, st = fused_conv_block(x, params, None, seed, True, True,
+                                     0.8, None)
+            gx, gp = jax.grad(
+                lambda xx, pp: jnp.sum(
+                    fused_conv_block(xx, pp, None, seed, True, True,
+                                     0.8, None)[0].astype(jnp.float32)
+                    * dy.astype(jnp.float32)),
+                argnums=(0, 1))(x, params)
+            return (y, st, gx, gp)
+
+        pd = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), _dual_data(16, 16, 16, 3)[0])
+        xa = jnp.asarray(rng_np.normal(size=(2, 16, 16, 16)), jnp.bfloat16)
+        xb = jnp.asarray(rng_np.normal(size=(2, 16, 16, 16)), jnp.bfloat16)
+
+        def run_dual():
+            return fused_conv_block((xa, xb), pd, None, None, True, True,
+                                    None, None)[0]
+
+        cb.set_im2col_form("shift", ext_bf16=False)
+        base_s, base_d = run_single(), run_dual()
+        cb.set_im2col_form("shift", ext_bf16=True)
+        try:
+            fast_s, fast_d = run_single(), run_dual()
+        finally:
+            cb.set_im2col_form("shift", ext_bf16=False)
+
+        for a, b in zip(jax.tree.leaves(base_s), jax.tree.leaves(fast_s)):
+            np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                          np.asarray(b, np.float32))
+        np.testing.assert_array_equal(np.asarray(base_d, np.float32),
+                                      np.asarray(fast_d, np.float32))
+
     @pytest.mark.parametrize("ca,cb,f", [(16, 16, 16), (32, 16, 32)])
     def test_dual_input_forward_and_vjp_match_reference(self, ca, cb, f):
         """The dual-input (concat-fold) path in SHIFT form: forward via
