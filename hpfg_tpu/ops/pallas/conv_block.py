@@ -164,16 +164,23 @@ def supported_cat(h: int, w: int, ca: int, cb: int, f: int) -> bool:
             and choose_pix(w, f, f) is not None)
 
 
+# Dispatch floor for `profitable` (on-chip A/B knob): the w >= 112 default
+# was measured with the ROLL im2col (56² stages were a net in-model loss,
+# 676 → 666 img/s); the shift form's better pass structure may flip them —
+# re-A/B with HPFG_FUSED_MINW=56 before trusting the old number.
+_FUSED_MINW = int(_os.environ.get("HPFG_FUSED_MINW", "112"))
+
+
 def profitable(h: int, w: int, c: int, f: int) -> bool:
     """Where the packed kernels beat XLA on TPU: the large-spatial,
     small-channel stages whose minor-dim lane waste cripples the XLA
     lowering (measured: 2.9 vs 4.9 ms fwd, 5.8 vs ~11 ms fwd+bwd at
     224²x16; 1.51x fwd+bwd at 112²x16→32 with pix=4 groups; ~1.07x at
-    56²x32→64 standalone — but a net LOSS in-model: canonical bench 676 →
-    666 img/s with 56² stages dispatched). Wide-channel / small-spatial
-    stages are lane-friendly and stay on XLA fusions (0.74x at 56²
-    128→64)."""
-    return w >= 112 and max(c, f) <= 64
+    56²x32→64 standalone — but a net LOSS in-model with the roll form:
+    canonical bench 676 → 666 img/s with 56² stages dispatched).
+    Wide-channel / small-spatial stages are lane-friendly and stay on XLA
+    fusions (0.74x at 56² 128→64)."""
+    return w >= _FUSED_MINW and max(c, f) <= 64
 
 
 # elements per im2col chunk, sized against the raised scoped-vmem limit in
