@@ -55,13 +55,21 @@ def enable_persistent_cache(platform: str | None = None) -> bool:
     return True
 
 
-def require_live_device(tag: str, deadline_s: float = 300.0) -> None:
+def require_live_device(tag: str, deadline_s: float | None = None) -> None:
     """Fail fast (clear message, rc=2) instead of hanging forever when the
     accelerator is unreachable — jax.devices()/the first Execute block
     indefinitely on a dead tunnel, which would wedge the driver's bench run
-    or the unattended recovery chain."""
+    or the unattended recovery chain.
+
+    The deadline defaults to the HPFG_LIVENESS_S env var (600 s): the first
+    Execute after a host reboot has been observed to take >300 s on a cold
+    tunnel while the very next process connects in seconds, so a short fixed
+    deadline produces false "tunnel down" verdicts."""
     import sys
     import threading
+
+    if deadline_s is None:
+        deadline_s = float(os.environ.get("HPFG_LIVENESS_S", "600"))
 
     import jax.numpy as jnp
     import numpy as np
