@@ -423,20 +423,34 @@ def _im2col_dy_windows(left, right, dy, th, c, w, pix):
     return lw, rw
 
 
-def _shift_operands(ext, c, w, pix, mm):
+def _shift_operands(ext, c, w, pix, mm, halo_dtype=None):
     """SHIFT-form im2col operands for one extended chunk — the ONE
     constructor shared by the forward conv (_shift_chunk_conv) and the
     weight gradient (_wgrad_kernel): both must build bit-identical operands
     or dW silently diverges from the forward (a failure class the interpret
     suite can mask).
 
-    ext: [TH+2, W*C] fp32 extended rows. Group-reshapes ONCE to
-    [(TH+2)*G, pix*C] (G = W/pix; lane-aligned by choose_pix) and casts to
-    the matmul dtype once. Returns (grp, halo, g, m): dy slab i's 'own'
-    operand is the static sublane slice grp[i*G : i*G+M] (K = pix*C —
-    exactly one full MXU K-pass at pix*C=128); halo is the packed [M, 6C]
-    operand (columns [left|right] per dy slab) of the six boundary-masked
-    halo columns (a single K-pass). No lane rolls, no full-width concats.
+    ext: [TH+2, W*C] extended rows. Returns (own, halo, g, m): dy slab i's
+    'own' operand own[i] is ext[i:i+TH] group-reshaped to [M, pix*C]
+    (G = W/pix, M = TH*G; lane-aligned by choose_pix — K = pix*C is exactly
+    one full MXU K-pass at pix*C=128); halo is the packed [M, 6C] operand
+    (columns [left|right] per dy slab) of the six boundary-masked halo
+    columns (a single K-pass). No lane rolls, no full-width concats.
+
+    Mosaic layout constraints (v5e, found the hard way): the halo columns
+    are lane slices at offset (pix-1)*C feeding sublane/lane concats, and
+    packed-bf16 offset relayouts are unimplemented — assembling the halo in
+    bf16 crashes lowering with "result/input offset mismatch on non-concat
+    dimension" (tpu.concatenate, C=16). So the halo is ALWAYS assembled in
+    fp32 (32-bit relayouts are implemented) and cast once at the end —
+    exact: bf16→f32→bf16 is lossless and the cast commutes with
+    select/concat. Likewise the own slabs are sublane-sliced from ext
+    BEFORE the group reshape (slice→reshape→cast, the layout-normalizing
+    pattern the rolled form already runs green) instead of sublane-slicing
+    a pre-cast [THE*G, pix*C] bf16 array at offsets i*G % 8 != 0.
+
+    ``halo_dtype`` overrides the returned halo dtype (the dual-input caller
+    keeps it f32 so both halos concat before a single cast).
 
     Halo source columns: ONE narrow lane slice each, masked at the group
     boundary (left operand row j sources group-row s+j-1, whose value must
@@ -448,12 +462,13 @@ def _shift_operands(ext, c, w, pix, mm):
     th = the - 2
     g = w // pix
     m = th * g
-    grp = ext.reshape(the * g, pix * c).astype(mm)
+    g32 = ext.astype(jnp.float32).reshape(the * g, pix * c)
+    own = [ext[i:i + th].reshape(m, pix * c).astype(mm) for i in range(3)]
     ridx = jax.lax.broadcasted_iota(jnp.int32, (the * g, c), 0)
-    zero = jnp.zeros((), mm)
-    lcol = jnp.where(ridx % g == g - 1, zero, grp[:, (pix - 1) * c:])
-    rcol = jnp.where(ridx % g == 0, zero, grp[:, :c])
-    zrow = jnp.zeros((1, c), mm)
+    zero = jnp.zeros((), jnp.float32)
+    lcol = jnp.where(ridx % g == g - 1, zero, g32[:, (pix - 1) * c:])
+    rcol = jnp.where(ridx % g == 0, zero, g32[:, :c])
+    zrow = jnp.zeros((1, c), jnp.float32)
     halos = []
     for i in range(3):
         s = i * g
@@ -466,7 +481,8 @@ def _shift_operands(ext, c, w, pix, mm):
         else:
             right = jnp.concatenate([rcol[s + 1:], zrow], axis=0)
         halos += [left, right]
-    return grp, jnp.concatenate(halos, axis=1), g, m
+    halo = jnp.concatenate(halos, axis=1).astype(halo_dtype or mm)
+    return own, halo, g, m
 
 
 def _shift_chunk_conv(ext, wbig_ref, *, c, f, w, pix, mm):
@@ -474,7 +490,7 @@ def _shift_chunk_conv(ext, wbig_ref, *, c, f, w, pix, mm):
     shared operands contracted against the expand_weights_shift rows
     (own blocks [i*pix*C, (i+1)*pix*C), packed halo block trailing 6C)."""
     th = ext.shape[0] - 2
-    grp, halo, g, m = _shift_operands(ext, c, w, pix, mm)
+    own, halo, g, m = _shift_operands(ext, c, w, pix, mm)
     kown = pix * c
     o = jax.lax.dot_general(
         halo, wbig_ref[3 * kown:],
@@ -482,7 +498,7 @@ def _shift_chunk_conv(ext, wbig_ref, *, c, f, w, pix, mm):
         preferred_element_type=jnp.float32)          # [M, pix*F]
     for i in range(3):
         o = o + jax.lax.dot_general(
-            grp[i * g:i * g + m], wbig_ref[i * kown:(i + 1) * kown],
+            own[i], wbig_ref[i * kown:(i + 1) * kown],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     return o.reshape(th, w * f)
@@ -496,20 +512,23 @@ def _shift_chunk_conv_cat(ext, ext2, wbig_ref, *, c, c2, f, w, pix, mm):
     expand_weights_shift_cat. The [B,H,W,Ca+Cb] interleave never exists and
     no full-width concat is built (the halo concat is 6*(C+C2) lanes)."""
     th = ext.shape[0] - 2
-    grp_a, halo_a, g, m = _shift_operands(ext, c, w, pix, mm)
-    grp_b, halo_b, _, _ = _shift_operands(ext2, c2, w, pix, mm)
+    own_a, halo_a, g, m = _shift_operands(ext, c, w, pix, mm,
+                                          halo_dtype=jnp.float32)
+    own_b, halo_b, _, _ = _shift_operands(ext2, c2, w, pix, mm,
+                                          halo_dtype=jnp.float32)
     ka, kb = pix * c, pix * c2
     o = jax.lax.dot_general(
-        jnp.concatenate([halo_a, halo_b], axis=1), wbig_ref[3 * (ka + kb):],
+        jnp.concatenate([halo_a, halo_b], axis=1).astype(mm),
+        wbig_ref[3 * (ka + kb):],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)          # [M, pix*F]
     for i in range(3):
         o = o + jax.lax.dot_general(
-            grp_a[i * g:i * g + m], wbig_ref[i * ka:(i + 1) * ka],
+            own_a[i], wbig_ref[i * ka:(i + 1) * ka],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         o = o + jax.lax.dot_general(
-            grp_b[i * g:i * g + m],
+            own_b[i],
             wbig_ref[3 * ka + i * kb:3 * ka + (i + 1) * kb],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -1113,10 +1132,10 @@ def _wgrad_kernel(src_ref, dpre_ref, a_ref, b_ref, mask_ref, seed_ref,
             # the packed halo on the trailing 6C rows (row count equals the
             # roll form's 3*(pix+2)*C, so out_ref is shared; the fold
             # differs — _fold_wgrad branches on the same flag).
-            grp, halo, g, m = _shift_operands(ext, c, w, pix, mm)
+            own, halo, g, m = _shift_operands(ext, c, w, pix, mm)
             for i in range(3):
                 out_ref[i * pix * c:(i + 1) * pix * c] += jax.lax.dot_general(
-                    grp[i * g:i * g + m], bgrp,
+                    own[i], bgrp,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [pix*C, pix*F]
             out_ref[3 * pix * c:] += jax.lax.dot_general(
