@@ -131,6 +131,25 @@ def k3_subroll(x_ref, o_ref):
     o_ref[...] = jnp.concatenate(halos, 1)
 
 
+def k4_evenroll(x_ref, o_ref):
+    """Row shifts via sublane rolls of the even-row-count [NR, C] columns
+    (NR % 8 == 0, tile-aligned) + iota masks for the two out-of-range edge
+    rows — no odd-row rolls, no sublane concats, no scratch."""
+    g32 = x_ref[...].reshape(NR, PIX * C)
+    lcol, rcol = _cols(g32)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (M, C), 0)
+    halos = []
+    for i in range(3):
+        s = i * G
+        # left_i[j] = lcol[s+j-1], 0 when s+j-1 < 0
+        lsh = pltpu.roll(lcol, (1 - s) % NR, 0)[:M]
+        halos.append(jnp.where(jrow + s - 1 < 0, 0.0, lsh))
+        # right_i[j] = rcol[s+j+1], 0 when s+j+1 >= NR
+        rsh = pltpu.roll(rcol, (-(s + 1)) % NR, 0)[:M]
+        halos.append(jnp.where(jrow + s + 1 >= NR, 0.0, rsh))
+    o_ref[...] = jnp.concatenate(halos, 1)
+
+
 def run(name, kernel, scratch=()):
     try:
         out = pl.pallas_call(
@@ -160,6 +179,7 @@ def main():
         run("p1_rollcol", k1_rollcol),
         run("p2_scratch", k2_scratch, pads),
         run("p3_subroll", k3_subroll),
+        run("p4_evenroll", k4_evenroll),
     ]
     tag = "_interp" if INTERPRET else ""
     with open(f"_chain/mosaic_probe{tag}.json", "w") as f:
