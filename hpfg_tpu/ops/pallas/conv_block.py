@@ -437,17 +437,27 @@ def _shift_operands(ext, c, w, pix, mm, halo_dtype=None):
     (columns [left|right] per dy slab) of the six boundary-masked halo
     columns (a single K-pass). No lane rolls, no full-width concats.
 
-    Mosaic layout constraints (v5e, found the hard way): the halo columns
-    are lane slices at offset (pix-1)*C feeding sublane/lane concats, and
-    packed-bf16 offset relayouts are unimplemented — assembling the halo in
-    bf16 crashes lowering with "result/input offset mismatch on non-concat
-    dimension" (tpu.concatenate, C=16). So the halo is ALWAYS assembled in
-    fp32 (32-bit relayouts are implemented) and cast once at the end —
-    exact: bf16→f32→bf16 is lossless and the cast commutes with
-    select/concat. Likewise the own slabs are sublane-sliced from ext
-    BEFORE the group reshape (slice→reshape→cast, the layout-normalizing
-    pattern the rolled form already runs green) instead of sublane-slicing
-    a pre-cast [THE*G, pix*C] bf16 array at offsets i*G % 8 != 0.
+    Mosaic layout constraints (v5e, found the hard way — two failed gate
+    attempts): VALUE slices carry their register offsets with them, and
+    Mosaic cannot relayout a non-zero offset on a non-concat dimension
+    inside tpu.concatenate, in bf16 OR fp32 ("result/input offset mismatch
+    on non-concat dimension", TPU_GATE_im2col.json 2026-08-19). Both halo
+    ingredients hit this: the left column is a lane slice at offset
+    (pix-1)*C = 112, and the per-dy row windows are sublane slices at
+    offsets i*G % 8 != 0. The construction below therefore uses ONLY
+    proven-lowering primitives (validated in isolation by
+    _mosaic_probe.py on the chip):
+      * the left column is canonicalized by a full-width fp32 lane roll
+        (pltpu.roll, the primitive the rolled form runs green on) before
+        its offset-0 slice;
+      * the per-dy row shifts are SUBLANE rolls of the even-row-count
+        [THE*G, C] columns (THE*G % 8 == 0, tile-aligned) with the two
+        out-of-range edge rows masked by an iota select — no sublane
+        concats, no misaligned slices, no scratch.
+    fp32 assembly is exact: bf16→f32→bf16 is lossless and the cast
+    commutes with select/roll/concat. The own slabs are sublane-sliced
+    from ext BEFORE the group reshape (slice→reshape→cast, the
+    layout-normalizing pattern the rolled form already runs green).
 
     ``halo_dtype`` overrides the returned halo dtype (the dual-input caller
     keeps it f32 so both halos concat before a single cast).
@@ -462,25 +472,24 @@ def _shift_operands(ext, c, w, pix, mm, halo_dtype=None):
     th = the - 2
     g = w // pix
     m = th * g
-    g32 = ext.astype(jnp.float32).reshape(the * g, pix * c)
+    nr = the * g
+    g32 = ext.astype(jnp.float32).reshape(nr, pix * c)
     own = [ext[i:i + th].reshape(m, pix * c).astype(mm) for i in range(3)]
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (the * g, c), 0)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (nr, c), 0)
     zero = jnp.zeros((), jnp.float32)
-    lcol = jnp.where(ridx % g == g - 1, zero, g32[:, (pix - 1) * c:])
+    lcol = jnp.where(ridx % g == g - 1, zero,
+                     pltpu.roll(g32, c, 1)[:, :c])
     rcol = jnp.where(ridx % g == 0, zero, g32[:, :c])
-    zrow = jnp.zeros((1, c), jnp.float32)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (m, c), 0)
     halos = []
     for i in range(3):
         s = i * g
-        if s == 0:
-            left = jnp.concatenate([zrow, lcol[:m - 1]], axis=0)
-        else:
-            left = lcol[s - 1:s - 1 + m]
-        if s + 1 + m <= the * g:
-            right = rcol[s + 1:s + 1 + m]
-        else:
-            right = jnp.concatenate([rcol[s + 1:], zrow], axis=0)
-        halos += [left, right]
+        # left_i[j] = lcol[s+j-1] (0 when s+j-1 < 0): sublane roll + mask
+        lsh = pltpu.roll(lcol, (1 - s) % nr, 0)[:m]
+        halos.append(jnp.where(jrow + (s - 1) < 0, zero, lsh))
+        # right_i[j] = rcol[s+j+1] (0 when s+j+1 >= nr)
+        rsh = pltpu.roll(rcol, (-(s + 1)) % nr, 0)[:m]
+        halos.append(jnp.where(jrow + (s + 1) >= nr, zero, rsh))
     halo = jnp.concatenate(halos, axis=1).astype(halo_dtype or mm)
     return own, halo, g, m
 
