@@ -191,8 +191,14 @@ _CHUNK_BUDGET = 112 * 3584
 
 
 def _row_chunk(h: int, wl: int) -> int:
-    """Rows per in-kernel im2col chunk (VMEM sizing); divides h."""
+    """Rows per in-kernel im2col chunk (VMEM sizing); divides h.
+
+    Under the shift im2col form the chunk's group-row count (TH+2)*G must
+    stay a sublane-tile multiple for the halo's sublane rolls (G = W/pix is
+    28 at every fused stage, so TH even suffices) — skip odd candidates."""
     for th in (224, 112, 56, 32, 28, 16, 14, 8, 7, 4, 2):
+        if _IM2COL == "shift" and th % 2:
+            continue
         if h % th == 0 and th * wl <= _CHUNK_BUDGET:
             return th
     return 1
