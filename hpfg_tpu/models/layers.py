@@ -154,20 +154,23 @@ _FUSED_CONV: bool | None = (
     else _os.environ.get("HPFG_FUSED_CONV") == "1")
 
 # Dual-input (UpBlock concat-fold) dispatch in auto mode; see
-# ConvBlock._use_fused_pair. Default off until TPU-gate + bench validated.
-_FUSED_PAIR: bool = _os.environ.get("HPFG_FUSED_PAIR", "0") == "1"
+# ConvBlock._use_fused_pair. Default ON: TPU gate green (Mosaic-vs-interpret
+# numeric, fwd+VJP) and bench 814.9 -> 874.3 img/s (+7.3%, BENCH_NOTES
+# session-9 A/B). HPFG_FUSED_PAIR=0 restores the concat+single-input form.
+_FUSED_PAIR: bool = _os.environ.get("HPFG_FUSED_PAIR", "1") == "1"
 
-# In-kernel C=1 stem expand (no HBM channel pad); default off until
-# TPU-gate + bench validated — off reproduces the r3-gated pre-pad program.
-_FUSED_STEM: bool = _os.environ.get("HPFG_FUSED_STEM", "0") == "1"
+# In-kernel C=1 stem expand (no HBM channel pad). Default ON: TPU gate
+# green, bench-neutral (814.9 vs 814.9) but reads the 3.2 MB unpadded image
+# instead of a 51 MB lane-padded copy (BENCH_NOTES session-9 A/B).
+# HPFG_FUSED_STEM=0 restores the HBM pre-pad form.
+_FUSED_STEM: bool = _os.environ.get("HPFG_FUSED_STEM", "1") == "1"
 
 
 def fused_pair_dispatch(h: int, w: int, ca: int, cb: int, f: int) -> bool:
     """Whether a (skip, up) pair of these shapes takes the dual-input fused
     ConvBlock (shared by ConvBlock._use_fused_pair and UpBlock's choice of
-    resize form). auto additionally requires HPFG_FUSED_PAIR=1 until the
-    dual-input kernels have a green TPU gate + bench — Mosaic lowering is
-    invisible to the CPU interpret suite (CLAUDE.md TPU COMPILE GATE)."""
+    resize form). auto takes the dual-input kernels by default (green TPU
+    gate + bench, BENCH_NOTES session-9); HPFG_FUSED_PAIR=0 opts out."""
     from hpfg_tpu.ops.pallas.conv_block import profitable, supported_cat
 
     if not supported_cat(h, w, ca, cb, f):
