@@ -40,8 +40,8 @@ def _patch_augment(mode: str) -> None:
 
     import hpfg_tpu.ops.augment as aug
 
-    if mode == "on":
-        return
+    if mode in ("on", "off"):
+        return  # "off" disables device_augment entirely; nothing to patch.
 
     def stream_rotflip(rng, images, masks):
         b = images.shape[0]
