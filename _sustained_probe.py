@@ -86,7 +86,7 @@ def main() -> int:
             trainer.ckpt.save_rotating(state)
     loss = _sync(metrics)  # real readback bounds the end
     t_end = time.time()
-    _ = _sync(state.params)  # param readback: the steps really ran
+    _ = _sync(state)  # param readback (first leaf): the steps really ran
     wall = t_end - t0
     steady = (ITERS - WARM) * images_per_step / (t_end - t_warm)
 
