@@ -318,6 +318,40 @@ class ConvBlock(nn.Module):
 _POOL_IMPL = _os.environ.get("HPFG_POOL", "pairwise")
 
 
+def _pool_pairwise(x: jnp.ndarray) -> jnp.ndarray:
+    r = jnp.maximum(x[:, 0::2], x[:, 1::2])
+    return jnp.maximum(r[:, :, 0::2], r[:, :, 1::2])
+
+
+@jax.custom_vjp
+def _max_pool_2x2_maskgrad(x: jnp.ndarray) -> jnp.ndarray:
+    return _pool_pairwise(x)
+
+
+def _maskgrad_fwd(x):
+    y = _pool_pairwise(x)
+    return y, (x, y)
+
+
+def _maskgrad_bwd(res, dy):
+    # dx = dy routed to the window max by an equality mask: one fused
+    # elementwise pass over [B, H, W, C] (the 2x nearest-upsamples of y/dy
+    # are broadcasts that fuse), instead of the strided-slice pad/scatter
+    # chain autodiff emits for the pairwise forward (r3 step audit:
+    # ~1.2 ms/step at the 224²/112² pools). Exact ties receive the full
+    # cotangent EACH (pairwise autodiff splits 0.5/0.5) — measure-zero
+    # for continuous activations, same caveat as the forward variants.
+    x, y = res
+    b, h, w, c = x.shape
+    six = (b, h // 2, 2, w // 2, 2, c)
+    yu = jnp.broadcast_to(y[:, :, None, :, None, :], six).reshape(x.shape)
+    du = jnp.broadcast_to(dy[:, :, None, :, None, :], six).reshape(x.shape)
+    return (jnp.where(x == yu, du, jnp.zeros((), dy.dtype)),)
+
+
+_max_pool_2x2_maskgrad.defvjp(_maskgrad_fwd, _maskgrad_bwd)
+
+
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """2x2/stride-2 max pool (identical to nn.max_pool((2,2),(2,2)) for
     even H/W).
@@ -329,18 +363,24 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     the round-3 trace showed the 6-D reshape+max form costing ~4.5 ms/step
     in layout copies (eq-against-rebroadcast backward at 224²/112² stages).
     Ties distribute gradient evenly instead of picking one element —
-    measure-zero for continuous activations."""
+    measure-zero for continuous activations.
+
+    'maskgrad' keeps the pairwise forward but swaps the backward for a
+    hand-written eq-mask custom_vjp (one fused elementwise pass, no
+    strided-slice scatter-adds) — r3 step-audit candidate for the ~3 ms
+    of pool time at the 876 img/s state."""
     b, h, w, c = x.shape
-    if _POOL_IMPL not in ("pairwise", "sliced", "reshape"):
+    if _POOL_IMPL not in ("pairwise", "sliced", "reshape", "maskgrad"):
         # validate BEFORE the odd-size fallback: a typo'd HPFG_POOL must
         # error on every call, not only when H/W happen to be even
         raise ValueError(f"unknown HPFG_POOL={_POOL_IMPL!r} "
-                         "(pairwise | sliced | reshape)")
+                         "(pairwise | sliced | reshape | maskgrad)")
     if h % 2 or w % 2:
         return nn.max_pool(x, (2, 2), strides=(2, 2))
+    if _POOL_IMPL == "maskgrad":
+        return _max_pool_2x2_maskgrad(x)
     if _POOL_IMPL == "pairwise":
-        r = jnp.maximum(x[:, 0::2], x[:, 1::2])
-        return jnp.maximum(r[:, :, 0::2], r[:, :, 1::2])
+        return _pool_pairwise(x)
     if _POOL_IMPL == "sliced":
         # contiguous-slice pairing: reshape (free) + unit slices, whose
         # backward is pad+select — avoids both the strided-slice

@@ -178,13 +178,15 @@ class TestMaxPoolVariants:
     Pin value AND gradient equality on continuous data (ties are
     measure-zero) plus the odd-size nn.max_pool fallback."""
 
+    IMPLS = ("pairwise", "sliced", "reshape", "maskgrad")
+
     def _variants(self, monkeypatch, x):
         import flax.linen as fnn
 
         from hpfg_tpu.models import layers
 
         outs, grads = {}, {}
-        for impl in ("pairwise", "sliced", "reshape"):
+        for impl in self.IMPLS:
             monkeypatch.setattr(layers, "_POOL_IMPL", impl)
             outs[impl] = np.asarray(layers.max_pool_2x2(x))
             grads[impl] = np.asarray(jax.grad(
@@ -195,7 +197,7 @@ class TestMaxPoolVariants:
     def test_value_and_grad_agree(self, np_rng, monkeypatch):
         x = jnp.asarray(np_rng.normal(size=(2, 8, 12, 5)), jnp.float32)
         outs, grads, ref = self._variants(monkeypatch, x)
-        for impl in ("pairwise", "sliced", "reshape"):
+        for impl in self.IMPLS:
             np.testing.assert_array_equal(outs[impl], ref, err_msg=impl)
             np.testing.assert_allclose(grads[impl], grads["pairwise"],
                                        atol=1e-6, err_msg=impl)
@@ -210,7 +212,7 @@ class TestMaxPoolVariants:
         from hpfg_tpu.models import layers
 
         x = jnp.asarray(np_rng.normal(size=(1, 7, 9, 3)), jnp.float32)
-        for impl in ("pairwise", "sliced", "reshape"):
+        for impl in self.IMPLS:
             monkeypatch.setattr(layers, "_POOL_IMPL", impl)
             np.testing.assert_array_equal(
                 np.asarray(layers.max_pool_2x2(x)),
