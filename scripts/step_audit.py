@@ -83,8 +83,15 @@ def build_step():
 
 
 def device_events(trace_dir):
-    """Yield (name, dur_us) for events on TPU/device tracks of the newest
-    trace.json.gz under trace_dir (TensorBoard profile plugin layout)."""
+    """Yield (name, dur_us, args) for LEAF events on TPU/device tracks of
+    the newest trace.json.gz under trace_dir (TensorBoard profile plugin
+    layout). Parent spans — the per-Execute `jit_step(...)` envelope and
+    the bare step-number rows — are skipped so totals aren't double-counted
+    (they made 'other' read 97 ms/step in the first r12 run). The XLA
+    device track carries `args` metadata per op: `source` (repo file:line),
+    `tf_op` (jaxpr path incl. jvp/transpose markers), `hlo_category`,
+    `long_name` (full HLO with shapes/layouts) — everything needed to
+    attribute a hot op without an HLO dump."""
     paths = sorted(glob.glob(os.path.join(
         trace_dir, "**", "*.trace.json.gz"), recursive=True),
         key=os.path.getmtime)
@@ -108,7 +115,10 @@ def device_events(trace_dir):
     for e in events:
         if (e.get("ph") == "X" and e.get("pid") in device_pids
                 and "dur" in e):
-            yield e.get("name", "?"), float(e["dur"])
+            name = e.get("name", "?")
+            if name.startswith("jit_") or re.fullmatch(r"\d+", name):
+                continue  # parent/envelope spans, not ops
+            yield name, float(e["dur"]), e.get("args") or {}
 
 
 def main():
@@ -127,8 +137,22 @@ def main():
         float(np.asarray(metrics["loss"]))
 
     totals, rows = {}, {}
-    for name, dur in device_events(trace_dir):
+    by_src, by_site, by_cat = {}, {}, {}
+    site_re = re.compile(r"(in_conv|down\d|up\d|_head|loss|softmax)")
+    for name, dur, args in device_events(trace_dir):
         rows[name] = rows.get(name, 0.0) + dur
+        cat = args.get("hlo_category", "?")
+        by_cat[cat] = by_cat.get(cat, 0.0) + dur
+        src = args.get("source", "?").replace("/root/repo/", "")
+        by_src[src] = by_src.get(src, 0.0) + dur
+        tf = args.get("tf_op", "")
+        stage = ("bwd" if "transpose(jvp" in tf
+                 else "eval" if tf.startswith("jit(step)/UNet")
+                 else "fwd")
+        m = site_re.search(tf)
+        site = m.group(1) if m else "(glue)"
+        key = f"{site}/{stage}"
+        by_site[key] = by_site.get(key, 0.0) + dur
     for name, dur in rows.items():
         for label, pat in CATEGORIES:
             if re.search(pat, name, re.I):
@@ -138,15 +162,24 @@ def main():
         totals[label] = totals.get(label, 0.0) + dur
 
     grand = sum(totals.values())
+    ms = lambda d: d / 1e3 / n_steps
+
+    def table(title, d, top):
+        print(f"\n-- {title} --")
+        for k, v in sorted(d.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"  {ms(v):8.3f} ms/step  {k[:100]}")
+
     print(f"\n== step_audit: {n_steps} steps, device total "
-          f"{grand / 1e3:.2f} ms ({grand / 1e3 / n_steps:.3f} ms/step) ==")
-    for label, dur in sorted(totals.items(), key=lambda kv: -kv[1]):
-        print(f"  {dur / 1e3 / n_steps:8.3f} ms/step  {label}")
-    print("\n-- top 40 ops --")
-    for name, dur in sorted(rows.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"  {dur / 1e3 / n_steps:8.3f} ms/step  {name[:110]}")
+          f"{grand / 1e3:.2f} ms ({ms(grand):.3f} ms/step) ==")
+    table("by op category (name regex)", totals, 12)
+    table("by hlo_category", by_cat, 12)
+    table("by source line", by_src, 25)
+    table("by model site / pass", by_site, 30)
+    table("top ops", rows, 30)
     with open("/tmp/step_audit.json", "w") as f:
-        json.dump({"n_steps": n_steps, "rows": rows, "totals": totals}, f)
+        json.dump({"n_steps": n_steps, "rows": rows, "totals": totals,
+                   "by_source": by_src, "by_site": by_site,
+                   "by_hlo_category": by_cat}, f)
 
 
 if __name__ == "__main__":
