@@ -367,18 +367,33 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
 
     'maskgrad' keeps the pairwise forward but swaps the backward for a
     hand-written eq-mask custom_vjp (one fused elementwise pass, no
-    strided-slice scatter-adds) — r3 step-audit candidate for the ~3 ms
-    of pool time at the 876 img/s state."""
+    strided-slice scatter-adds) — measured on chip at 869.6 vs the 884.3
+    pairwise baseline (r6 A/B): the eq-broadcast layouts lose; kept
+    opt-in for the record. 'halves' pools on the row-major flattened form
+    (contiguous-half maxima, free bitcast reshapes) — the r12 candidate."""
     b, h, w, c = x.shape
-    if _POOL_IMPL not in ("pairwise", "sliced", "reshape", "maskgrad"):
+    if _POOL_IMPL not in ("pairwise", "sliced", "reshape", "maskgrad",
+                          "halves"):
         # validate BEFORE the odd-size fallback: a typo'd HPFG_POOL must
         # error on every call, not only when H/W happen to be even
         raise ValueError(f"unknown HPFG_POOL={_POOL_IMPL!r} "
-                         "(pairwise | sliced | reshape | maskgrad)")
+                         "(pairwise | sliced | reshape | maskgrad | halves)")
     if h % 2 or w % 2:
         return nn.max_pool(x, (2, 2), strides=(2, 2))
     if _POOL_IMPL == "maskgrad":
         return _max_pool_2x2_maskgrad(x)
+    if _POOL_IMPL == "halves":
+        # row-major contiguous-halves form: every reshape below is a free
+        # bitcast (merges adjacent row-major dims) and every slice is a
+        # CONTIGUOUS half — no strided slices (pairwise: scatter-add bwd),
+        # no 5/6-D layouts (sliced/reshape), no eq-broadcasts (maskgrad).
+        # Row pairs concatenate into one [2WC] row; column pairs into one
+        # [2C] block. The r12 copy audit showed the NHWC pool forms force
+        # layout renegotiation around every Pallas row-major boundary.
+        xr = x.reshape(b * h // 2, 2 * w * c)
+        m = jnp.maximum(xr[:, :w * c], xr[:, w * c:])
+        mr = m.reshape(b * (h // 2) * (w // 2), 2 * c)
+        return jnp.maximum(mr[:, :c], mr[:, c:]).reshape(b, h // 2, w // 2, c)
     if _POOL_IMPL == "pairwise":
         return _pool_pairwise(x)
     if _POOL_IMPL == "sliced":

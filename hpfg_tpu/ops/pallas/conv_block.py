@@ -1382,15 +1382,26 @@ def _bwd(train, interpret, drop, res, cts):
         dw1 = jnp.concatenate(dws, axis=2)
     elif cin == 1:
         # stem: whether conv1 ran packed (in-kernel lane expand) or through
-        # XLA, its transpose is the same C=1 conv pair — cheap as XLA convs
-        # (dx is DCE'd when the image needs no gradient; wgrad is [3,3,1,F])
-        def stem_conv(xx, ww):
-            # all-f32: a mixed bf16/f32 conv TRANSPOSE is a TypeError, and
-            # the C=1 stem convs are cheap even in f32
-            return _conv3x3(xx.astype(jnp.float32), ww.astype(jnp.float32))
-
-        _, stem_vjp = jax.vjp(stem_conv, x, params.w1)
-        dx, dw1 = stem_vjp(_unpack(dh2, w, f).astype(jnp.float32))
+        # XLA, its transpose is the same C=1 conv pair.
+        # dx (transpose conv F->1) is consumed only by input-gradient users
+        # (VAT/SS-Net); in plain training the caller's partial-eval drops it
+        # and XLA DCEs the conv. Keep it f32 (mixed bf16/f32 convs TypeError).
+        dh = dh2.reshape(b, hh, w, f)  # free: [B*H, W*F] row-major split
+        wflip = jnp.flip(params.w1, axis=(0, 1)).transpose(0, 1, 3, 2)
+        dx = _conv3x3(dh.astype(jnp.float32),
+                      wflip.astype(jnp.float32)).astype(x.dtype)
+        # wgrad [3,3,1,F] as ONE tall-skinny MXU contraction straight off
+        # the packed bf16 cotangent — the previous jax.vjp form unpacked and
+        # cast dh2 to f32 in HBM first (~0.5 ms/step of data formatting at
+        # 224^2 in the r12 step audit). f32 accumulation via
+        # preferred_element_type; the 9-tap im2col of the 3.2 MB image is
+        # cheap (pad + static slices).
+        xi = x.reshape(b, hh, w).astype(dtype)
+        xp = jnp.pad(xi, ((0, 0), (1, 1), (1, 1)))
+        cols = jnp.stack([xp[:, ky:ky + hh, kx:kx + w]
+                          for ky in range(3) for kx in range(3)], axis=-1)
+        dw1 = jnp.einsum("bhwk,bhwf->kf", cols, dh,
+                         preferred_element_type=jnp.float32).reshape(3, 3, 1, f)
     else:
         pix1 = choose_pix(w, cin, f)
         wflip1 = _expand1(

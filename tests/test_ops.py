@@ -178,7 +178,7 @@ class TestMaxPoolVariants:
     Pin value AND gradient equality on continuous data (ties are
     measure-zero) plus the odd-size nn.max_pool fallback."""
 
-    IMPLS = ("pairwise", "sliced", "reshape", "maskgrad")
+    IMPLS = ("pairwise", "sliced", "reshape", "maskgrad", "halves")
 
     def _variants(self, monkeypatch, x):
         import flax.linen as fnn
