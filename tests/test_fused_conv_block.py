@@ -359,9 +359,18 @@ def test_convblock_module_fused_equals_flax():
 
     g0 = jax.grad(lambda p: loss(p, False))(variables["params"])
     g1 = jax.grad(lambda p: loss(p, True))(variables["params"])
+    # tolerance scaled to the gradient magnitude (same convention as
+    # test_fused_custom_vjp_matches_autodiff): the conv-bias gradients are
+    # mathematically ZERO in train mode (a constant shift moves the batch
+    # mean by the same amount) — the fused path returns the exact zero
+    # while flax autodiff returns fp32 cancellation noise whose size
+    # tracks the O(1..10) weight-gradient scale, not an absolute 1e-3
+    # (it deterministically lands at ~1.2e-3 for some rng_np stream
+    # positions, which is why this test is draw-order sensitive).
+    gscale = max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g0))
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   atol=1e-3, rtol=1e-3)
+                                   atol=1e-3 * max(1.0, gscale), rtol=1e-3)
 
 
 def test_convblock_module_c1_stem_flag_paths_agree(monkeypatch):
