@@ -29,14 +29,25 @@ wait_tunnel() {
 
 have() { [ -s "$1" ]; }
 
+# Write $2 from the last JSON line of $1 ONLY when rc ($3) is 0 AND the
+# line parses as JSON (ADVICE r3: a failed run printing any brace line must
+# not produce a bogus artifact that the idempotency guard then trusts).
+extract_json() {
+  local log=$1 out=$2 rc=$3 prefix=${4:-}
+  [ "$rc" -eq 0 ] || return 1
+  grep -o "${prefix}{.*}" "$log" | tail -1 | sed "s/^${prefix}//" \
+    | python -c 'import json,sys; d=sys.stdin.read(); json.loads(d); sys.stdout.write(d)' \
+    > "$out".tmp 2>/dev/null && [ -s "$out".tmp ] && mv "$out".tmp "$out"
+}
+
 # 1. bench re-confirm
 if ! have _chain/bench_reconfirm_r13.json; then
   wait_tunnel
   echo "[chain r7] bench re-confirm..." >> "$LOG"
   timeout 3600 python bench.py > _chain/bench_reconfirm_r13.log 2>&1
   rc=$?
-  grep -o '{.*}' _chain/bench_reconfirm_r13.log | tail -1 > _chain/bench_reconfirm_r13.json
-  echo "[chain r7] bench rc=$rc: $(cat _chain/bench_reconfirm_r13.json)" >> "$LOG"
+  extract_json _chain/bench_reconfirm_r13.log _chain/bench_reconfirm_r13.json $rc
+  echo "[chain r7] bench rc=$rc: $(cat _chain/bench_reconfirm_r13.json 2>/dev/null)" >> "$LOG"
 fi
 
 # 2. SUSTAINED refresh (full Trainer loop, device_cache, 1500 iters)
@@ -54,9 +65,8 @@ if ! have _chain/soak_hpfg_r12.json; then
   echo "[chain r7] hpfg soak..." >> "$LOG"
   timeout 7200 python -u _soak_run.py hpfg 1500 > _chain/soak_hpfg_r12.log 2>&1
   rc=$?
-  grep -o 'SOAK {.*}' _chain/soak_hpfg_r12.log | tail -1 | sed 's/^SOAK //' \
-    > _chain/soak_hpfg_r12.json
-  echo "[chain r7] soak rc=$rc: $(cat _chain/soak_hpfg_r12.json)" >> "$LOG"
+  extract_json _chain/soak_hpfg_r12.log _chain/soak_hpfg_r12.json $rc 'SOAK '
+  echo "[chain r7] soak rc=$rc: $(cat _chain/soak_hpfg_r12.json 2>/dev/null)" >> "$LOG"
 fi
 
 echo "[chain r7] done $(date -u +%FT%TZ)" >> "$LOG"

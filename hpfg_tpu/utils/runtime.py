@@ -88,3 +88,56 @@ def require_live_device(tag: str, deadline_s: float | None = None) -> None:
         print(f"{tag}: no response from the accelerator within "
               f"{deadline_s:.0f}s — backend/tunnel down?", file=sys.stderr)
         os._exit(2)
+
+
+def dispatch_health(n: int = 5, threshold_s: float = 0.5) -> dict:
+    """Measure dispatch+readback latency of a trivial jit and classify the
+    tunnel as healthy/degraded (VERDICT r3 #4: a wedged-but-alive tunnel can
+    execute at 10-100x normal latency, and a perf probe that records
+    whatever it gets cannot distinguish 'tunnel sick' from 'code regressed';
+    SUSTAINED_r03c.json was such a 45% phantom regression).
+
+    A healthy round-trip on this setup is ~26 ms per fresh device→host
+    transfer (CLAUDE.md); the default 0.5 s median threshold is ~20x that —
+    far above noise, far below the wedged-state latencies (>10 s) observed
+    in the session-13 outage. Returns {"median_s", "times_s", "healthy"}.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    float(np.asarray(f(x)))  # compile outside the timed loop
+    times = []
+    for _ in range(n):
+        t0 = time.time()
+        float(np.asarray(f(x)))  # fresh array each call -> fresh transfer
+        times.append(time.time() - t0)
+    med = float(np.median(times))
+    return {"median_s": med, "times_s": [round(t, 4) for t in times],
+            "healthy": med <= threshold_s}
+
+
+def require_healthy_dispatch(tag: str, retries: int = 3,
+                             retry_wait_s: float = 120.0) -> dict:
+    """dispatch_health with retry; refuses (rc=3) when the tunnel stays
+    degraded so perf probes report a sick tunnel instead of recording
+    bogus numbers."""
+    import sys
+    import time
+
+    for attempt in range(retries):
+        h = dispatch_health()
+        if h["healthy"]:
+            return h
+        print(f"{tag}: dispatch degraded (median {h['median_s']:.2f}s, "
+              f"attempt {attempt + 1}/{retries}) — waiting "
+              f"{retry_wait_s:.0f}s", file=sys.stderr)
+        if attempt < retries - 1:
+            time.sleep(retry_wait_s)
+    print(f"{tag}: dispatch stayed degraded — refusing to record perf "
+          "numbers (re-run when the tunnel recovers)", file=sys.stderr)
+    os._exit(3)

@@ -143,6 +143,97 @@ def test_dual_input_vjp_matches_autodiff(ca, cb, f, with_mask):
         assert np.max(np.abs(a - b)) < 1e-4 * gscale + 1e-6, name
 
 
+class TestDualBwdFolds:
+    """Round-4 backward folds (HPFG_DUAL_BWD / HPFG_FOLD_REDUCE): both must
+    be numerically interchangeable with the unfused baseline — same
+    contractions in the same per-element order, so the tolerance is tiny."""
+
+    @pytest.mark.parametrize("ca,cb,f", [(16, 16, 16), (32, 16, 16),
+                                         (64, 64, 64)])
+    def test_dual_bwd_matches_baseline(self, ca, cb, f):
+        from hpfg_tpu.ops.pallas import conv_block as cbm
+
+        params, xa, xb, mask, dy = _dual_data(ca, cb, f, seed=ca + 7 * f)
+        pm = mask.reshape(2, 16, -1)
+        grad = jax.grad(
+            lambda pair, p: jnp.sum(fused_conv_block(
+                pair, p, pm, None, True, True, None, None)[0] * dy),
+            argnums=(0, 1))
+        (ga0, gb0), gp0 = grad((xa, xb), params)
+        cbm.set_bwd_flags(dual=True)
+        try:
+            (ga1, gb1), gp1 = grad((xa, xb), params)
+        finally:
+            cbm.set_bwd_flags(dual=False)
+        np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga0),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb0),
+                                   atol=1e-6)
+        for name in params._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(gp1, name)),
+                np.asarray(getattr(gp0, name)), atol=1e-6, err_msg=name)
+
+    @pytest.mark.parametrize("c,f,with_mask", [(16, 16, True),
+                                               (32, 32, False)])
+    def test_fold_reduce_matches_baseline(self, c, f, with_mask):
+        from hpfg_tpu.ops.pallas import conv_block as cbm
+
+        params = _params(c, f)
+        g = np.random.default_rng(c * 3 + f)
+        x = jnp.asarray(g.normal(size=(2, 16, 16, c)), jnp.float32)
+        mask = (jnp.asarray((g.random((2, 16, 16, f)) > 0.3) / 0.7,
+                            jnp.float32) if with_mask else None)
+        pm = None if mask is None else mask.reshape(2, 16, -1)
+        dy = jnp.asarray(g.normal(size=(2, 16, 16, f)), jnp.float32)
+        grad = jax.grad(
+            lambda x, p: jnp.sum(fused_conv_block(
+                x, p, pm, None, True, True, None, None)[0] * dy),
+            argnums=(0, 1))
+        gx0, gp0 = grad(x, params)
+        cbm.set_bwd_flags(fold=True)
+        try:
+            gx1, gp1 = grad(x, params)
+        finally:
+            cbm.set_bwd_flags(fold=False)
+        # gscale-relative: the fold changes XLA's fusion groups in interpret
+        # mode, so fp32 reductions reassociate at the ulp level (the values
+        # entering the sums are identical; Mosaic executes them verbatim)
+        gs = max(float(jnp.max(jnp.abs(gx0))), 1.0)
+        assert float(jnp.max(jnp.abs(gx1 - gx0))) < 1e-5 * gs + 1e-6
+        for name in params._fields:
+            a = np.asarray(getattr(gp0, name))
+            b = np.asarray(getattr(gp1, name))
+            gs = max(np.max(np.abs(a)), 1.0)
+            assert np.max(np.abs(a - b)) < 1e-5 * gs + 1e-6, name
+
+    def test_dual_bwd_with_hash_dropout_and_fold(self):
+        """Both flags together, in-kernel hash dropout active (the bench
+        configuration the A/B will run)."""
+        from hpfg_tpu.ops.pallas import conv_block as cbm
+
+        params, xa, xb, _, dy = _dual_data(16, 16, 16, seed=99)
+        seed = jnp.asarray(1234.0, jnp.float32)
+        grad = jax.grad(
+            lambda pair, p: jnp.sum(fused_conv_block(
+                pair, p, None, seed, True, True, 0.7, None)[0] * dy),
+            argnums=(0, 1))
+        (ga0, gb0), gp0 = grad((xa, xb), params)
+        cbm.set_bwd_flags(dual=True, fold=True)
+        try:
+            (ga1, gb1), gp1 = grad((xa, xb), params)
+        finally:
+            cbm.set_bwd_flags(dual=False, fold=False)
+        for a, b in ((ga0, ga1), (gb0, gb1)):
+            gs = max(float(jnp.max(jnp.abs(a))), 1.0)
+            assert float(jnp.max(jnp.abs(b - a))) < 1e-5 * gs + 1e-6
+        for name in params._fields:
+            a = np.asarray(getattr(gp0, name))
+            b = np.asarray(getattr(gp1, name))
+            gs = max(np.max(np.abs(a)), 1.0)
+            assert np.max(np.abs(a - b)) < 1e-5 * gs + 1e-6, name
+
+
 class TestShiftIm2col:
     """HPFG_IM2COL=shift: the group-reshape/sublane-halo im2col construction
     (no lane rolls, packed [M, 6C] halo matmul) must be numerically
