@@ -8,6 +8,12 @@ runner, which reads the algorithm name from the config's ``algorithm:`` key
 Usage:
     python scripts/run.py --config configs/hpfg_unet_plus_30k_224x224_ACDC.yaml
     python scripts/run.py --config ... --set total_itrs=100 --set lr=0.02
+    python scripts/run.py --config ... --validate-data   # check data tree only
+
+A data preflight (hpfg_tpu/data/preflight.py) also runs automatically before
+any model is built, so a misconfigured data_path fails in seconds with
+actionable messages instead of after a multi-minute compile; disable with
+--set preflight=0.
 """
 
 from __future__ import annotations
@@ -34,7 +40,24 @@ def run(default_config: str, algorithm: str | None = None, argv=None):
     from hpfg_tpu.train.algorithms import build_algorithm
     from hpfg_tpu.train.trainer import Trainer
 
+    argv = list(sys.argv[1:] if argv is None else argv)
+    validate_only = "--validate-data" in argv
+    if validate_only:
+        argv.remove("--validate-data")
     cfg = parse_config("hpfg_tpu trainer", default_config, argv)
+
+    from hpfg_tpu.data.preflight import preflight_or_raise, validate_data_tree
+
+    if validate_only:
+        issues = validate_data_tree(str(cfg.get("data_path", "")),
+                                    str(cfg.get("datasets", "")),
+                                    int(cfg.get("num_classes", 4)))
+        for line in issues:
+            print(f"[validate-data] {line}")
+        print(f"[validate-data] {'FAIL' if issues else 'OK'}: "
+              f"{cfg.get('data_path')!r} ({cfg.get('datasets')})")
+        raise SystemExit(1 if issues else 0)
+    preflight_or_raise(cfg)
     jax.config.update("jax_default_prng_impl",
                       str(cfg.get("prng_impl", "rbg")))
     if cfg.get("distributed"):
