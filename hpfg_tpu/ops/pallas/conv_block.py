@@ -58,13 +58,22 @@ BN_EPS = 1e-5
 #             halo columns (left/right x 3 dy) pack into ONE [M, 6C]
 #             operand: 4 MXU K-passes per chunk instead of 6, zero lane
 #             rolls, zero full-width concats, bf16 end-to-end.
+#   'packrw'— r4 hybrid: roll's construction (2 lane rolls, cheap windows)
+#             with shift's pass structure — the lw windows contract alone
+#             (K = pix*C, one full K-tile) and the three rw windows pack
+#             into ONE [M, 6C] pass against row-permuted weights
+#             (expand_weights_packrw): 4 K-tile passes/chunk at roll's VPU
+#             cost. Shift lost its MXU win to halo-assembly VPU time
+#             (BENCH_NOTES session-10); packrw keeps the win without that
+#             cost IF Mosaic lowers the misaligned-target rw concat.
 # A/B candidate for the 15.1 ms/step of conv._fused the r3 profile shows
 # against a 2-3 ms HBM roofline (BENCH_NOTES.md). The flag drives fwd conv,
 # dgrad, wgrad (plus _fold_wgrad's matching fold) AND the dual-input
 # (concat-fold) forward (_shift_chunk_conv_cat).
 _IM2COL = _os.environ.get("HPFG_IM2COL", "roll")
-if _IM2COL not in ("roll", "shift"):
-    raise ValueError(f"unknown HPFG_IM2COL={_IM2COL!r} (roll | shift)")
+if _IM2COL not in ("roll", "shift", "packrw"):
+    raise ValueError(
+        f"unknown HPFG_IM2COL={_IM2COL!r} (roll | shift | packrw)")
 
 # HPFG_EXT_BF16=1 (A/B candidate, shift form only): keep the extended chunk
 # rows in the input dtype on identity-transform paths (conv1 fwd, dgrad,
@@ -102,11 +111,11 @@ def set_bwd_flags(dual: bool | None = None, fold: bool | None = None) -> None:
 
 
 def set_im2col_form(form: str, ext_bf16: bool | None = None) -> None:
-    """Force the im2col construction ('roll' | 'shift') and optionally the
-    shift-form ext dtype fast path; tests/probes only — takes effect at
-    trace time, so flip it before (re)tracing."""
+    """Force the im2col construction ('roll' | 'shift' | 'packrw') and
+    optionally the shift-form ext dtype fast path; tests/probes only —
+    takes effect at trace time, so flip it before (re)tracing."""
     global _IM2COL, _EXT_BF16
-    if form not in ("roll", "shift"):
+    if form not in ("roll", "shift", "packrw"):
         raise ValueError(form)
     _IM2COL = form
     if ext_bf16 is not None:
@@ -331,12 +340,33 @@ def expand_weights_shift_cat(wa: jax.Array, wb: jax.Array,
                             ea[3 * pix * ca:], eb[3 * pix * cb:]], axis=0)
 
 
+def expand_weights_packrw(w: jax.Array, pix: int) -> jax.Array:
+    """Row-permuted expand_weights for the PACKRW im2col form: rows
+    [own0 | own1 | own2 | halo0 | halo1 | halo2] where own_i is dy slab i's
+    lw block (pix*C rows) and halo_i its rw block (2C rows). Same values as
+    the roll expansion — only the contraction is regrouped so the three
+    full-K lw passes run at K = pix*C (one MXU K-tile) and all rw columns
+    pack into ONE trailing [6C, pix*F] pass: 4 K-tile passes per chunk
+    instead of the roll form's 6 (shift's pass count) while keeping the
+    roll form's cheap VPU construction (2 lane rolls, no sublane rolls,
+    no iota masks)."""
+    e = expand_weights(w, pix)
+    c = w.shape[2]
+    kdy, kown = (pix + 2) * c, pix * c
+    own = [e[i * kdy:i * kdy + kown] for i in range(3)]
+    halo = [e[i * kdy + kown:(i + 1) * kdy] for i in range(3)]
+    return jnp.concatenate(own + halo, axis=0)
+
+
 def _expand1(w: jax.Array, pix: int) -> jax.Array:
     """Weight expansion for the SINGLE-input conv kernels in the active
     im2col form (the kernels branch on the same module flag at trace
     time, so operand and weight layouts always agree)."""
-    return (expand_weights_shift(w, pix) if _IM2COL == "shift"
-            else expand_weights(w, pix))
+    if _IM2COL == "shift":
+        return expand_weights_shift(w, pix)
+    if _IM2COL == "packrw":
+        return expand_weights_packrw(w, pix)
+    return expand_weights(w, pix)
 
 
 def _expand_cat(wa: jax.Array, wb: jax.Array, pix: int) -> jax.Array:
@@ -609,6 +639,31 @@ def _conv_rows(x_ref, wbig_ref, bvec_ref, out_ref, sums, *, c, f, w, h, pix,
         elif use_shift:
             o = _shift_chunk_conv(ext, wbig_ref, c=c, f=f, w=w, pix=pix,
                                   mm=mm)
+        elif _IM2COL == "packrw" and x2_ref is None:
+            # roll-form operands, shift-form pass structure: 3 full-K lw
+            # passes (K = pix*C, one MXU K-tile each) + ONE packed [M, 6C]
+            # rw pass against the expand_weights_packrw trailing rows —
+            # 4 K-tile passes per chunk instead of 6 (wbig's K = (pix+2)C
+            # = 160 pays 2 tiles per dy slab; 96 of its second tile's 128
+            # lanes are dead)
+            left, right = _rolled_pair(ext, c, w, pix)
+            kown = pix * c
+            o = None
+            rws = []
+            for i, dy in enumerate((-1, 0, 1)):
+                lw, rw = _im2col_dy_windows(left, right, dy, th, c, w, pix)
+                part = jax.lax.dot_general(
+                    lw.astype(mm), wbig_ref[i * kown:(i + 1) * kown],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                o = part if o is None else o + part
+                rws.append(rw)
+            halo = jnp.concatenate(rws, axis=1).astype(mm)  # [M, 6C]
+            o = o + jax.lax.dot_general(
+                halo, wbig_ref[3 * kown:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o = o.reshape(th, w * f)
         else:
             left, right = _rolled_pair(ext, c, w, pix)  # ONE roll pair/chunk
             if x2_ref is not None:
@@ -1337,6 +1392,24 @@ def _dgrad_pair_kernel(dpre_ref, wflip_ref, outa_ref, outb_ref, *, c, fa, fb,
                     own[i], wflip_ref[i * pix * c:(i + 1) * pix * c],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+        elif _IM2COL == "packrw":
+            left, right = _rolled_pair(ext, c, w, pix)
+            kown = pix * c
+            o = None
+            rws = []
+            for i, dy in enumerate((-1, 0, 1)):
+                lw, rw = _im2col_dy_windows(left, right, dy, th, c, w, pix)
+                part = jax.lax.dot_general(
+                    lw.astype(mm), wflip_ref[i * kown:(i + 1) * kown],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                o = part if o is None else o + part
+                rws.append(rw)
+            o = o + jax.lax.dot_general(
+                jnp.concatenate(rws, axis=1).astype(mm),
+                wflip_ref[3 * kown:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         else:
             left, right = _rolled_pair(ext, c, w, pix)
             o = None

@@ -234,6 +234,107 @@ class TestDualBwdFolds:
             assert np.max(np.abs(a - b)) < 1e-5 * gs + 1e-6, name
 
 
+class TestPackrwIm2col:
+    """HPFG_IM2COL=packrw: roll-construction operands contracted in shift's
+    4-pass structure (expand_weights_packrw row permutation) — must be
+    numerically interchangeable with the roll form across fwd, custom VJP,
+    the C=1 stem, hash dropout, and the pair (dual-input) block whose
+    conv2/dgrads take the packrw path."""
+
+    @staticmethod
+    def _with_form(fn):
+        from hpfg_tpu.ops.pallas import conv_block as cbm
+
+        cbm.set_im2col_form("packrw")
+        try:
+            return fn()
+        finally:
+            cbm.set_im2col_form("roll")
+
+    @pytest.mark.parametrize("c,f", [(16, 16), (1, 16), (32, 32), (64, 64)])
+    def test_forward_and_vjp_match_roll(self, c, f):
+        params = _params(c, f)
+        g = np.random.default_rng(5 * c + f)
+        x = jnp.asarray(g.normal(size=(2, 16, 16, c)), jnp.float32)
+        dy = jnp.asarray(g.normal(size=(2, 16, 16, f)), jnp.float32)
+        seed = jnp.asarray(77.0, jnp.float32)
+
+        def run():
+            def loss(x, p):
+                y, st = fused_conv_block(x, p, None, seed, True, True, 0.8,
+                                         None)
+                return jnp.sum(y * dy) + jnp.sum(st.mean2)
+            l, grads = jax.value_and_grad(loss, argnums=(0, 1))(x, params)
+            return (l,) + grads
+
+        l0, gx0, gp0 = run()
+        l1, gx1, gp1 = self._with_form(run)
+        # identical contractions regrouped: outer fp32 adds reassociate at
+        # the ulp level only
+        assert abs(float(l1) - float(l0)) < 1e-4 * max(abs(float(l0)), 1.0)
+        gs = max(float(jnp.max(jnp.abs(gx0))), 1.0)
+        assert float(jnp.max(jnp.abs(gx1 - gx0))) < 1e-5 * gs + 1e-6
+        for name in params._fields:
+            a = np.asarray(getattr(gp0, name))
+            b = np.asarray(getattr(gp1, name))
+            gs = max(np.max(np.abs(a)), 1.0)
+            assert np.max(np.abs(a - b)) < 1e-5 * gs + 1e-6, name
+
+    def test_pair_block_matches_roll(self):
+        params, xa, xb, mask, dy = _dual_data(16, 16, 16, seed=321)
+        pm = mask.reshape(2, 16, -1)
+
+        def run():
+            def loss(pair, p):
+                y, st = fused_conv_block(pair, p, pm, None, True, True,
+                                         None, None)
+                return jnp.sum(y * dy) + jnp.sum(st.var1)
+            return jax.value_and_grad(loss, argnums=(0, 1))((xa, xb), params)
+
+        l0, (g0, gp0) = run()
+        l1, (g1, gp1) = self._with_form(run)
+        assert abs(float(l1) - float(l0)) < 1e-4 * max(abs(float(l0)), 1.0)
+        for a, b in zip(g0, g1):
+            gs = max(float(jnp.max(jnp.abs(a))), 1.0)
+            assert float(jnp.max(jnp.abs(b - a))) < 1e-5 * gs + 1e-6
+        for name in params._fields:
+            a = np.asarray(getattr(gp0, name))
+            b = np.asarray(getattr(gp1, name))
+            gs = max(np.max(np.abs(a)), 1.0)
+            assert np.max(np.abs(a - b)) < 1e-5 * gs + 1e-6, name
+
+    def test_packrw_with_dual_bwd_flags(self):
+        """packrw + HPFG_DUAL_BWD together (the combined A/B leg)."""
+        from hpfg_tpu.ops.pallas import conv_block as cbm
+
+        params, xa, xb, _, dy = _dual_data(32, 32, 32, seed=654)
+
+        def run():
+            def loss(pair, p):
+                y, _ = fused_conv_block(pair, p, None, None, True, True,
+                                        None, None)
+                return jnp.sum(y * dy)
+            return jax.value_and_grad(loss, argnums=(0, 1))((xa, xb), params)
+
+        l0, (g0, gp0) = run()
+        cbm.set_im2col_form("packrw")
+        cbm.set_bwd_flags(dual=True, fold=True)
+        try:
+            l1, (g1, gp1) = run()
+        finally:
+            cbm.set_im2col_form("roll")
+            cbm.set_bwd_flags(dual=False, fold=False)
+        assert abs(float(l1) - float(l0)) < 1e-4 * max(abs(float(l0)), 1.0)
+        for a, b in zip(g0, g1):
+            gs = max(float(jnp.max(jnp.abs(a))), 1.0)
+            assert float(jnp.max(jnp.abs(b - a))) < 1e-5 * gs + 1e-6
+        for name in params._fields:
+            a = np.asarray(getattr(gp0, name))
+            b = np.asarray(getattr(gp1, name))
+            gs = max(np.max(np.abs(a)), 1.0)
+            assert np.max(np.abs(a - b)) < 1e-5 * gs + 1e-6, name
+
+
 class TestShiftIm2col:
     """HPFG_IM2COL=shift: the group-reshape/sublane-halo im2col construction
     (no lane rolls, packed [M, 6C] halo matmul) must be numerically
