@@ -55,6 +55,13 @@ CONFIGS = (
 # scan-pathological on this backend). Writes BENCH_EXTRA_r04.json.
 EXTRA_CONFIGS = (
     ("uamt", "configs/uncertainty_aware_unet_30k_224x224_ACDC.yaml"),
+    # mc_mode A/B: statically-unrolled chunked MC passes vs the lax.map
+    # default (train/algorithms/uamt.py — chunk=2 is reference BN semantics,
+    # chunk=8 is one folded [T·U] teacher forward)
+    ("uamt_unroll2", "configs/uncertainty_aware_unet_30k_224x224_ACDC.yaml",
+     {"mc_mode": "unroll", "mc_chunk": 2}),
+    ("uamt_unroll8", "configs/uncertainty_aware_unet_30k_224x224_ACDC.yaml",
+     {"mc_mode": "unroll", "mc_chunk": 8}),
     ("swinunet_lidc", "configs/swinunet_30k_96x96_LIDC.yaml"),
     ("ccnet_swinunet", "configs/ccnet_swinunet_30k_224x224_ACDC.yaml"),
     ("ccnet_cmt", "configs/ccnet_cmt_30k_224x224_ACDC.yaml"),
@@ -85,12 +92,14 @@ def make_batch(cfg, algo_name: str) -> dict:
     return batch
 
 
-def bench_one(name: str, cfg_path: str) -> dict:
+def bench_one(name: str, cfg_path: str, overrides: dict | None = None) -> dict:
     from hpfg_tpu.config import load_config
     from hpfg_tpu.parallel.mesh import get_mesh, shard_batch
     from hpfg_tpu.train.algorithms import build_algorithm
 
     cfg = load_config(os.path.join(REPO, cfg_path))
+    for k, v in (overrides or {}).items():
+        setattr(cfg, k, v)
     algo = build_algorithm(str(cfg.algorithm), cfg, dtype=jnp.bfloat16)
     state = algo.init_state(jax.random.PRNGKey(0))
     batch = shard_batch(get_mesh(), make_batch(cfg, str(cfg.algorithm)))
@@ -115,6 +124,7 @@ def bench_one(name: str, cfg_path: str) -> dict:
     return {
         "metric": f"{name}_images_per_sec_per_chip",
         "config": cfg_path,
+        **({"overrides": overrides} if overrides else {}),
         "model": str(cfg.get("model", "")),
         "images_per_step": images_per_step,
         "step_ms": round(1e3 * elapsed / ITERS, 2),
@@ -133,9 +143,11 @@ def main() -> int:
     configs = EXTRA_CONFIGS if extra else CONFIGS
     out_name = "BENCH_EXTRA_r04.json" if extra else "BENCH_ALL_r04.json"
     rows = []
-    for name, cfg_path in configs:
+    for entry in configs:
+        name, cfg_path = entry[0], entry[1]
+        overrides = entry[2] if len(entry) > 2 else None
         print(f"[bench_all] {name} ({cfg_path}) ...", flush=True)
-        row = bench_one(name, cfg_path)
+        row = bench_one(name, cfg_path, overrides)
         rows.append(row)
         print(json.dumps(row), flush=True)
     artifact = {"timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),

@@ -8,9 +8,19 @@ Mean-Teacher plus MC-dropout uncertainty gating:
   * threshold ramped (0.75 + 0.25·sigmoid_rampup(it, total)) · ln 2 (:158)
   * consistency = sum(mask·mse) / (2·sum(mask) + 1e-16) (:159-160)
 
-TPU note: the reference loops T/2 times over a doubled batch; here the T
-noisy passes run as a `lax.map` over stacked rng keys — one compiled loop,
-teacher weights read once from HBM per pass.
+TPU note: the reference loops T/2 times over a doubled batch
+(:134-141 — `volume_batch_r = unlabeled.repeat(2,1,1,1)`). Two forms here:
+  * mc_mode="map" (default): T noisy passes as a `lax.map` over stacked rng
+    keys — one compiled loop, teacher weights read once from HBM per pass.
+  * mc_mode="unroll": statically-unrolled T/mc_chunk forwards, each on a
+    chunk-tiled batch [chunk·U, ...]. mc_chunk=2 reproduces the reference's
+    doubled-batch BN statistics exactly; larger chunks trade BN-batch
+    fidelity for fewer, larger MXU dispatches. `lax.scan`-family loops are
+    pathological on some backends (CLAUDE.md) — this is the measured escape
+    hatch (A/B via bench_all HPFG_BENCH_SET=extra).
+At mc_chunk=1 the unroll form consumes the IDENTICAL per-pass keys as map —
+equal outputs up to the T-pass mean's fp32 reduction order
+(tests/test_algorithms.py::TestUAMT).
 """
 
 from __future__ import annotations
@@ -65,6 +75,12 @@ class UAMT(Algorithm):
         self.rampup = float(cfg.get("consistency_rampup", 200.0))
         self.ema_decay = float(cfg.get("ema_decay", 0.99))
         self.total_itrs = int(cfg.total_itrs)
+        self.mc_mode = str(cfg.get("mc_mode", "map"))
+        self.mc_chunk = int(cfg.get("mc_chunk", 2))
+        if self.mc_mode not in ("map", "unroll"):
+            raise ValueError(f"mc_mode must be map|unroll, got {self.mc_mode}")
+        if self.T % self.mc_chunk:
+            raise ValueError(f"mc_chunk={self.mc_chunk} must divide T={self.T}")
 
     def init_state(self, rng) -> UAMTState:
         rng, init_rng = jax.random.split(rng)
@@ -87,16 +103,38 @@ class UAMT(Algorithm):
         ema_out = jax.lax.stop_gradient(ema_out)
 
         # T noisy MC passes → uncertainty map (teacher, no grad)
-        def one_pass(keys):
-            noise_key, drop_key = keys
-            out, _ = apply_train(self.model, state.ema,
-                                 _noisy(noise_key, unlabeled), drop_key)
-            return jax.nn.softmax(out, axis=-1)
+        noise_keys = jax.random.split(mc_rng, self.T)
+        drop_keys = jax.random.split(jax.random.fold_in(mc_rng, 1), self.T)
+        if self.mc_mode == "map":
+            def one_pass(keys):
+                noise_key, drop_key = keys
+                out, _ = apply_train(self.model, state.ema,
+                                     _noisy(noise_key, unlabeled), drop_key)
+                return jax.nn.softmax(out, axis=-1)
 
-        keys = (jax.random.split(mc_rng, self.T),
-                jax.random.split(jax.random.fold_in(mc_rng, 1), self.T))
-        preds = jax.lax.map(one_pass, keys)  # [T, U, H, W, C]
-        preds = jax.lax.stop_gradient(jnp.mean(preds, axis=0))
+            preds = jax.lax.map(one_pass, (noise_keys, drop_keys))
+            preds = jnp.mean(preds, axis=0)  # [T, U, H, W, C] -> [U, ...]
+        else:
+            # statically-unrolled chunked passes: each forward sees a
+            # [chunk·U, ...] batch with per-copy iid noise (reference BN
+            # semantics at chunk=2, /root/reference/
+            # 2019_07_MICCAI_Uncertainty_Aware_ACDC.py:134-141)
+            c, u = self.mc_chunk, unlabeled.shape[0]
+            psum = 0.0
+            for i in range(self.T // c):
+                noise = jnp.concatenate(
+                    [jnp.clip(jax.random.normal(noise_keys[i * c + j],
+                                                unlabeled.shape,
+                                                unlabeled.dtype) * 0.1,
+                              -0.2, 0.2) for j in range(c)], axis=0)
+                xin = jnp.tile(unlabeled, (c,) + (1,) * (unlabeled.ndim - 1))
+                out, _ = apply_train(self.model, state.ema, xin + noise,
+                                     drop_keys[i * c])
+                sm = jax.nn.softmax(out, axis=-1)
+                psum = psum + jnp.sum(
+                    sm.reshape((c, u) + sm.shape[1:]), axis=0)
+            preds = psum / self.T
+        preds = jax.lax.stop_gradient(preds)
         uncertainty = -jnp.sum(preds * jnp.log(preds + 1e-6), axis=-1,
                                keepdims=True)  # [U, H, W, 1]
 

@@ -35,6 +35,43 @@ class TestUAMT:
         assert metrics["threshold"] == pytest.approx(expected, rel=1e-4)
         assert int(np.asarray(state.step)) == 2
 
+    def test_mc_unroll_chunk1_equals_map(self, synthetic_acdc):
+        """mc_mode=unroll consumes the identical per-pass keys as lax.map at
+        mc_chunk=1 — same init, same batch ⇒ equal step outputs up to the
+        T-pass mean's fp32 reduction order (sequential vs stacked-reduce)."""
+        rng = np.random.default_rng(0)
+        batch = {
+            "label_img": rng.normal(size=(4, 32, 32, 1)).astype(np.float32),
+            "label": rng.integers(0, 4, (4, 32, 32)).astype(np.int32),
+            "unlabel_img": rng.normal(size=(8, 32, 32, 1)).astype(np.float32),
+        }
+
+        def one_step(mode, chunk):
+            cfg = tiny_cfg(synthetic_acdc)
+            cfg.mc_mode, cfg.mc_chunk = mode, chunk
+            algo = build_algorithm("uamt", cfg)
+            state = algo.init_state(jax.random.PRNGKey(7))
+            state, metrics = jax.jit(algo.step)(state, batch)
+            leaf = np.asarray(jax.tree_util.tree_leaves(state.model.params)[0])
+            return {k: float(np.asarray(v)) for k, v in metrics.items()}, leaf
+
+        m_map, p_map = one_step("map", 1)
+        m_unr, p_unr = one_step("unroll", 1)
+        assert m_map["loss"] == pytest.approx(m_unr["loss"], rel=1e-6)
+        assert m_map["loss_consistency"] == pytest.approx(
+            m_unr["loss_consistency"], rel=1e-5, abs=1e-8)
+        np.testing.assert_allclose(p_map, p_unr, rtol=1e-5, atol=1e-7)
+
+    def test_mc_unroll_chunk2_runs(self, synthetic_acdc):
+        """Reference-shaped doubled-batch MC passes (mc_chunk=2) run finite
+        (/root/reference/2019_07_MICCAI_Uncertainty_Aware_ACDC.py:134-141)."""
+        cfg = tiny_cfg(synthetic_acdc)
+        cfg.mc_mode, cfg.mc_chunk = "unroll", 2
+        algo = build_algorithm("uamt", cfg)
+        _, metrics = _run_steps(algo, _ssl_loaders(synthetic_acdc), n=1)
+        assert np.isfinite(metrics["loss"])
+        assert np.isfinite(metrics["loss_consistency"])
+
 
 class TestCPS:
     def test_dual_students_diverge_from_init(self, synthetic_acdc):
