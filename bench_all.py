@@ -103,7 +103,8 @@ def bench_one(name: str, cfg_path: str, overrides: dict | None = None) -> dict:
     algo = build_algorithm(str(cfg.algorithm), cfg, dtype=jnp.bfloat16)
     state = algo.init_state(jax.random.PRNGKey(0))
     batch = shard_batch(get_mesh(), make_batch(cfg, str(cfg.algorithm)))
-    images_per_step = sum(v.shape[0] for k, v in batch.items() if "img" in k)
+    images_per_step = sum(v.shape[0] for k, v in batch.items()
+                          if "img" in k or k == "image")
 
     step = jax.jit(algo.step, donate_argnums=(0,))
     t_c0 = time.perf_counter()

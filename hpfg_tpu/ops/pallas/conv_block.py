@@ -96,9 +96,11 @@ _EXT_BF16 = _os.environ.get("HPFG_EXT_BF16", "0") == "1"
 #   HPFG_FOLD_REDUCE=1 — stage-2 dgrad folds the NEXT stage's bwd_reduce
 #                        into its output loop (_dgrad's own output rows are
 #                        the reduce's operand, already in VMEM per chunk).
-# Dispatch-gated off until the TPU gate + bench A/B (round-3 discipline).
-_DUAL_BWD = _os.environ.get("HPFG_DUAL_BWD", "0") == "1"
-_FOLD_REDUCE = _os.environ.get("HPFG_FOLD_REDUCE", "0") == "1"
+# Default ON after the session-14 on-chip A/B (TPU_GATE_dualbwd.json green;
+# bench base 884.07 / dual 904.72 / fold 889.11 / dual+fold 908.56 img/s —
+# _chain/bench_r04_*.json, round-3 discipline).
+_DUAL_BWD = _os.environ.get("HPFG_DUAL_BWD", "1") == "1"
+_FOLD_REDUCE = _os.environ.get("HPFG_FOLD_REDUCE", "1") == "1"
 
 
 def set_bwd_flags(dual: bool | None = None, fold: bool | None = None) -> None:
