@@ -83,7 +83,14 @@ def main() -> int:
     t_warm = None
     for i in range(1, ITERS + 1):
         state, metrics = trainer._jit_cached(state, mega)
+        if i == WARM // 2:
+            # compile the eval + checkpoint paths during warmup so the
+            # steady window measures steady-state evals+ckpts, not their
+            # one-time compiles (which otherwise land at exactly iter 500)
+            trainer._dispatch_eval(state, i)
+            trainer.ckpt.save_rotating(state)
         if i == WARM:
+            trainer._join_eval()
             _sync(metrics)  # real readback bounds the steady segment start
             t_warm = time.time()
         if i % EVAL_EVERY == 0:
