@@ -87,17 +87,16 @@ def main() -> int:
             # compile the eval + checkpoint paths during warmup so the
             # steady window measures steady-state evals+ckpts, not their
             # one-time compiles (which otherwise land at exactly iter 500)
-            trainer._dispatch_eval(state, i)
-            trainer.ckpt.save_rotating(state)
+            trainer._dispatch_eval(state, i, save_rotating=True)
         if i == WARM:
             trainer._join_eval()
             _sync(metrics)  # real readback bounds the steady segment start
             t_warm = time.time()
         if i % EVAL_EVERY == 0:
             # overlapped eval (Trainer.async_eval default): snapshot +
-            # worker thread; device work still serializes, host wall hides
-            trainer._dispatch_eval(state, i)
-            trainer.ckpt.save_rotating(state)
+            # worker thread carrying the rotating ckpt too — the trainer's
+            # own boundary behavior (trainer.py eval block)
+            trainer._dispatch_eval(state, i, save_rotating=True)
     loss = _sync(metrics)  # real readback bounds the end
     t_end = time.time()
     trainer._join_eval()

@@ -86,6 +86,7 @@ class Trainer:
         self.async_eval = bool(cfg.get("async_eval", True))
         self._eval_pool = None
         self._eval_future = None
+        self._jit_snapshot = None
 
         self.total_itrs = int(cfg.total_itrs)
         self.step_size = int(cfg.step_size)
@@ -309,17 +310,14 @@ class Trainer:
 
             if eval_enabled and cur % self.step_size == 0:
                 self._flush_metrics(pending_metrics)
-                self._dispatch_eval(state, cur)
+                # crash-recovery rotation rides the eval worker on the same
+                # snapshot (off the dispatch hot path)
+                self._dispatch_eval(state, cur, save_rotating=True)
                 panels_fn = getattr(self.algorithm, "image_panels", None)
                 if panels_fn is not None and batch is not None \
                         and not self._writer_disabled():
                     for tag, img in panels_fn(state, batch).items():
                         self.writer.add_image(tag, img, cur)
-                # periodic crash-recovery checkpoint (async, off the hot
-                # path; alternates last_a/last_b so a crash mid-save never
-                # destroys the only recovery point); resume with ckpt=last
-                # / auto_resume=1
-                self.ckpt.save_rotating(state)
 
         if prefetcher is not None:
             prefetcher.close()
@@ -356,15 +354,24 @@ class Trainer:
         return {k: float(v) for k, v in last.items()}
 
     # ------------------------------------------------------------------
-    def _dispatch_eval(self, state, cur_itrs: int) -> None:
+    def _dispatch_eval(self, state, cur_itrs: int,
+                       save_rotating: bool = False) -> None:
         """Run evaluate() on a snapshot, overlapped with training when
         ``async_eval`` (default on). The snapshot is a tree_copy so the
         donated train step cannot invalidate the buffers mid-eval; best-dice
         checkpoints save the snapshot (the exact evaluated params). Evals
         are serialized on one worker — a new boundary first joins the
-        previous eval, so cadence can never outrun eval wall time."""
+        previous eval, so cadence can never outrun eval wall time.
+
+        ``save_rotating`` piggybacks the crash-recovery checkpoint on the
+        same snapshot INSIDE the worker: the orbax device→host gather then
+        overlaps training instead of blocking the dispatch loop (~1-2 s per
+        boundary through this tunnel, SUSTAINED_r04 analysis). Recovery
+        semantics are unchanged — a crash resumes from the boundary iter."""
         if not self.async_eval:
             self.evaluate(state, cur_itrs)
+            if save_rotating:
+                self.ckpt.save_rotating(state)
             return
         from concurrent.futures import ThreadPoolExecutor
 
@@ -374,9 +381,22 @@ class Trainer:
             self._eval_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="hpfg-eval")
         self._join_eval()
-        snap = tree_copy(state)
-        self._eval_future = self._eval_pool.submit(
-            self.evaluate, snap, cur_itrs)
+        # one jitted Execute for the whole snapshot: eager tree_copy
+        # dispatches one device op per leaf, and every Execute pays a
+        # 0.6-3 ms floor through the dev tunnel (hundreds of leaves
+        # ⇒ ~1 s per boundary)
+        if self._jit_snapshot is None:
+            import jax as _jax
+            self._jit_snapshot = _jax.jit(tree_copy)
+        snap = self._jit_snapshot(state)
+
+        def task():
+            out = self.evaluate(snap, cur_itrs)
+            if save_rotating:
+                self.ckpt.save_rotating(snap)
+            return out
+
+        self._eval_future = self._eval_pool.submit(task)
 
     def _join_eval(self) -> None:
         """Wait for the in-flight overlapped eval (re-raising its errors —
