@@ -53,10 +53,22 @@ CATEGORIES = [
 ]
 
 
-def build_step():
+def build_step(cfg_path: str | None = None):
     from hpfg_tpu.config import Config
     from hpfg_tpu.parallel.mesh import get_mesh, shard_batch
     from hpfg_tpu.train.algorithms import build_algorithm
+
+    if cfg_path:
+        # audit any canonical config's donated step (e.g. the HPFG
+        # flagship) — shapes + batch synthesized exactly as bench_all does
+        from bench_all import make_batch
+        from hpfg_tpu.config import load_config
+
+        cfg = load_config(cfg_path)
+        algo = build_algorithm(str(cfg.algorithm), cfg, dtype=jnp.bfloat16)
+        state = algo.init_state(jax.random.PRNGKey(0))
+        batch = shard_batch(get_mesh(), make_batch(cfg, str(cfg.algorithm)))
+        return jax.jit(algo.step, donate_argnums=(0,)), state, batch
 
     cfg = Config(
         datasets="acdc", num_classes=4, in_channels=1,
@@ -123,9 +135,10 @@ def device_events(trace_dir):
 
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    cfg_path = sys.argv[2] if len(sys.argv) > 2 else None
     require_live_device("step_audit")
     enable_persistent_cache(platform=jax.devices()[0].platform)
-    step, state, batch = build_step()
+    step, state, batch = build_step(cfg_path)
     for _ in range(5):
         state, metrics = step(state, batch)
     float(np.asarray(metrics["loss"]))  # real sync (tunnel, CLAUDE.md)
