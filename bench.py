@@ -73,6 +73,10 @@ def main():
     })
 
     step = jax.jit(algo.step, donate_argnums=(0,))
+    # FLOPs of the exact compiled step (cost analysis; reused by the timed
+    # loop via the jit cache) → published MFU (VERDICT r4 #4)
+    from hpfg_tpu.utils.profiling import compiled_flops, mfu
+    step_flops = compiled_flops(step.lower(state, batch).compile())
     for _ in range(WARMUP):
         state, metrics = step(state, batch)
     # force a real device→host readback: catches silently failing executions
@@ -89,11 +93,14 @@ def main():
     n_chips = len(jax.devices())
     images_per_sec = ITERS * (LABEL_BS + UNLABEL_BS) / elapsed
     per_chip = images_per_sec / n_chips
+    step_mfu = mfu(step_flops, elapsed / ITERS)
     print(json.dumps({
         "metric": "mean_teacher_unet_acdc_224_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / A100_REF_IMG_PER_SEC, 4),
+        "step_gflops": round(step_flops / 1e9, 1),
+        **({"mfu": round(step_mfu, 4)} if step_mfu is not None else {}),
     }))
 
 

@@ -53,8 +53,10 @@ def _read_list(root: str, name: str, issues: list[str],
 
 
 def _sample_idx(n: int, k: int = 3) -> list[int]:
-    """First / middle / last — bounded work regardless of list size."""
-    return sorted(set([0, n // 2, n - 1][:max(min(k, n), 0)]))
+    """First / last / middle — bounded work regardless of list size.
+    First+last are taken before middle when truncating (k=2) so tail
+    desyncs in val/test splits are still caught (ADVICE r4)."""
+    return sorted(set([0, n - 1, n // 2][:max(min(k, n), 0)]))
 
 
 def _check_h5(path: str, issues: list[str], *, ndim: int, num_classes: int,
@@ -184,14 +186,20 @@ def _validate_building(root: str, num_classes: int,
                     f"test image [{i}]")
 
 
+# Keys mirror data/builder.py's accepted dataset names exactly (ADVICE r4:
+# every name build_loader accepts must have a validator — asserted in
+# tests/test_preflight.py). lidc/isic validators are split-agnostic, so the
+# sup_ aliases share them; builder.py has no bare "building" key.
 _VALIDATORS = {
     "acdc": _validate_acdc,
     "sup_acdc": _validate_acdc,
     "synapse": _validate_synapse,
     "sup_synapse": _validate_synapse,
     "lidc": _validate_lidc,
+    "sup_lidc": _validate_lidc,
     "isic": _validate_isic,
-    "building": _validate_building,
+    "sup_isic": _validate_isic,
+    "sup_building": _validate_building,
 }
 
 

@@ -45,10 +45,24 @@ def soft_dice_probs(probs: jnp.ndarray, target_probs: jnp.ndarray,
     return jnp.mean(1.0 - dice)
 
 
+def binary_dice_probs(probs: jnp.ndarray, target_probs: jnp.ndarray,
+                      ep: float = 1e-8) -> jnp.ndarray:
+    """Binary_dice_loss over probability maps (reference vatloss.py:25-29):
+    ONE global intersection/union over every element — no per-class split,
+    sum(p)/sum(t) (not squared) denominators."""
+    p = probs.astype(jnp.float32)
+    t = target_probs.astype(jnp.float32)
+    intersection = 2.0 * jnp.sum(p * t) + ep
+    union = jnp.sum(p) + jnp.sum(t) + ep
+    return 1.0 - intersection / union
+
+
 def vat_loss(apply_fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
              rng: jax.Array, xi: float = 10.0, epi: float = 6.0,
              ip: int = 1,
              apply_fn_frozen: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+             distance: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+             = soft_dice_probs,
              ) -> jnp.ndarray:
     """apply_fn(x) -> logits [..., C]; must be differentiable w.r.t. its
     input AND the parameters it closes over, with frozen BN statistics.
@@ -71,11 +85,27 @@ def vat_loss(apply_fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
 
     def adv_distance(d_):
         p_hat = jax.nn.softmax(frozen(x + xi * d_), axis=-1)
-        return soft_dice_probs(p_hat, pred)
+        return distance(p_hat, pred)
 
     for _ in range(ip):
         grad_d = jax.grad(adv_distance)(d)
         d = jax.lax.stop_gradient(_l2_normalize(grad_d))
 
     p_hat = jax.nn.softmax(apply_fn(x + epi * d), axis=-1)
-    return soft_dice_probs(p_hat, pred)
+    return distance(p_hat, pred)
+
+
+def vat_loss_3d(apply_fn: Callable[[jnp.ndarray], jnp.ndarray],
+                x: jnp.ndarray, rng: jax.Array, xi: float = 10.0,
+                epi: float = 6.0, ip: int = 1,
+                apply_fn_frozen: Callable[[jnp.ndarray], jnp.ndarray] | None
+                = None) -> jnp.ndarray:
+    """VAT3d (reference vatloss.py:89-118; unused upstream — SS-Net uses
+    VAT2d). Identical power iteration to :func:`vat_loss`; the distance is
+    the global ``Binary_dice_loss`` instead of per-class soft dice. The
+    reference's 3-D intent is carried by x's shape ([N, D, H, W, 1] here) —
+    the math is rank-agnostic (per-sample L2 normalization flattens all
+    non-batch dims)."""
+    return vat_loss(apply_fn, x, rng, xi=xi, epi=epi, ip=ip,
+                    apply_fn_frozen=apply_fn_frozen,
+                    distance=binary_dice_probs)

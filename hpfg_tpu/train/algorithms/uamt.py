@@ -79,7 +79,9 @@ class UAMT(Algorithm):
         self.mc_chunk = int(cfg.get("mc_chunk", 2))
         if self.mc_mode not in ("map", "unroll"):
             raise ValueError(f"mc_mode must be map|unroll, got {self.mc_mode}")
-        if self.T % self.mc_chunk:
+        # mc_chunk is only consumed by unroll mode — a config carrying a
+        # non-divisor chunk with mc_mode=map must not fail (ADVICE r4)
+        if self.mc_mode == "unroll" and self.T % self.mc_chunk:
             raise ValueError(f"mc_chunk={self.mc_chunk} must divide T={self.T}")
 
     def init_state(self, rng) -> UAMTState:

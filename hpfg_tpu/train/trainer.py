@@ -269,62 +269,81 @@ class Trainer:
         cur = int(np.asarray(state.step))
         images_per_step = None
         batch = None
-        while cur < self.total_itrs:
-            if mega is not None:
-                if images_per_step is None:
-                    images_per_step = sum(
-                        v.shape[1] for k, v in mega.items()
-                        if "img" in k or k == "image")
-                state, metrics = self._jit_cached(state, mega)
-            else:
-                batch = next(batches)
-                if images_per_step is None:
-                    images_per_step = sum(
-                        v.shape[0] for k, v in batch.items()
-                        if "img" in k or k == "image")
-                if prefetcher is None:
-                    batch = shard_batch(self.mesh, batch)
-                if self.device_augment:
-                    self._aug_counter += 1
-                    state, metrics = self._jit_step(
-                        state, batch, np.uint32(self._aug_counter))
+        # Cleanup runs even when training raises mid-run (ADVICE r4): the
+        # non-daemon eval worker must be joined (else interpreter shutdown
+        # blocks on it, possibly mid-checkpoint-rotation) — but a secondary
+        # eval error must not mask the primary training exception.
+        failed = False
+        try:
+            while cur < self.total_itrs:
+                if mega is not None:
+                    if images_per_step is None:
+                        images_per_step = sum(
+                            v.shape[1] for k, v in mega.items()
+                            if "img" in k or k == "image")
+                    state, metrics = self._jit_cached(state, mega)
                 else:
-                    state, metrics = self._jit_step(state, batch)
-            cur += 1
-            pending_metrics.append((cur, metrics))
+                    batch = next(batches)
+                    if images_per_step is None:
+                        images_per_step = sum(
+                            v.shape[0] for k, v in batch.items()
+                            if "img" in k or k == "image")
+                    if prefetcher is None:
+                        batch = shard_batch(self.mesh, batch)
+                    if self.device_augment:
+                        self._aug_counter += 1
+                        state, metrics = self._jit_step(
+                            state, batch, np.uint32(self._aug_counter))
+                    else:
+                        state, metrics = self._jit_step(state, batch)
+                cur += 1
+                pending_metrics.append((cur, metrics))
 
-            if cur % self.log_every == 0 or cur == self.total_itrs:
-                # ONE device→host transfer for the whole window: per-scalar
-                # fetches cost tens of ms each through the TPU tunnel
-                last = self._flush_metrics(pending_metrics)
-                if cur % (self.log_every * 10) == 0:
-                    now = time.time()
-                    rate = cur * (images_per_step or 0) / (now - t_start)
-                    wrate = ((cur - iter_window) * (images_per_step or 0)
-                             / max(now - t_window, 1e-9))
-                    t_window, iter_window = now, cur
-                    self.logger.info(
-                        "iter %d/%d loss %.4f (%.1f img/s window, %.1f avg)",
-                        cur, self.total_itrs,
-                        last.get("loss", float("nan")), wrate, rate)
+                if cur % self.log_every == 0 or cur == self.total_itrs:
+                    # ONE device→host transfer for the whole window:
+                    # per-scalar fetches cost tens of ms each through the
+                    # TPU tunnel
+                    last = self._flush_metrics(pending_metrics)
+                    if cur % (self.log_every * 10) == 0:
+                        now = time.time()
+                        rate = cur * (images_per_step or 0) / (now - t_start)
+                        wrate = ((cur - iter_window) * (images_per_step or 0)
+                                 / max(now - t_window, 1e-9))
+                        t_window, iter_window = now, cur
+                        self.logger.info(
+                            "iter %d/%d loss %.4f "
+                            "(%.1f img/s window, %.1f avg)",
+                            cur, self.total_itrs,
+                            last.get("loss", float("nan")), wrate, rate)
 
-            if eval_enabled and cur % self.step_size == 0:
-                self._flush_metrics(pending_metrics)
-                # crash-recovery rotation rides the eval worker on the same
-                # snapshot (off the dispatch hot path)
-                self._dispatch_eval(state, cur, save_rotating=True)
-                panels_fn = getattr(self.algorithm, "image_panels", None)
-                if panels_fn is not None and batch is not None \
-                        and not self._writer_disabled():
-                    for tag, img in panels_fn(state, batch).items():
-                        self.writer.add_image(tag, img, cur)
-
-        if prefetcher is not None:
-            prefetcher.close()
-        self._join_eval()  # surface any pending overlapped-eval result/error
-        if self._eval_pool is not None:
-            self._eval_pool.shutdown(wait=True)
-            self._eval_pool = None
+                if eval_enabled and cur % self.step_size == 0:
+                    self._flush_metrics(pending_metrics)
+                    # crash-recovery rotation rides the eval worker on the
+                    # same snapshot (off the dispatch hot path)
+                    self._dispatch_eval(state, cur, save_rotating=True)
+                    panels_fn = getattr(self.algorithm, "image_panels", None)
+                    if panels_fn is not None and batch is not None \
+                            and not self._writer_disabled():
+                        for tag, img in panels_fn(state, batch).items():
+                            self.writer.add_image(tag, img, cur)
+        except BaseException:
+            failed = True
+            raise
+        finally:
+            if prefetcher is not None:
+                prefetcher.close()
+            try:
+                # surface any pending overlapped-eval result/error
+                self._join_eval()
+            except Exception:
+                if not failed:
+                    raise
+                self.logger.exception(
+                    "overlapped eval also failed during shutdown "
+                    "(primary training exception follows)")
+            if self._eval_pool is not None:
+                self._eval_pool.shutdown(wait=True)
+                self._eval_pool = None
         self.ckpt.save("last", state, block=True)  # also flushes async saves
         elapsed = time.time() - t_start
         self.logger.info("done: %d iters in %.1fs (%.2f it/s)",

@@ -73,7 +73,50 @@ def count_flops(fn, *args) -> float:
     """Static FLOP estimate via XLA cost analysis (replacement for the
     reference's thop probes)."""
     compiled = jax.jit(fn).lower(*args).compile()
+    return compiled_flops(compiled)
+
+
+def compiled_flops(compiled) -> float:
+    """FLOPs of an already-lowered-and-compiled executable (avoids a second
+    trace when the caller benches the same program)."""
     analysis = compiled.cost_analysis()
     if isinstance(analysis, list):
         analysis = analysis[0]
+    if analysis is None:
+        return float("nan")
     return float(analysis.get("flops", float("nan")))
+
+
+# Peak dense-matmul throughput per chip in FLOP/s (bf16 inputs, fp32
+# accumulate — the compute dtype everywhere in this repo). Public spec
+# numbers; keys are jax Device.device_kind strings.
+_PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def chip_peak_flops(device=None) -> float | None:
+    """bf16 peak FLOP/s for ``device`` (default: devices()[0]), or None when
+    the chip kind is unknown (e.g. CPU test runs)."""
+    d = device if device is not None else jax.devices()[0]
+    return _PEAK_BF16_FLOPS.get(getattr(d, "device_kind", ""))
+
+
+def mfu(flops_per_step: float, step_seconds: float,
+        device=None) -> float | None:
+    """Model-FLOPs utilization: achieved FLOP/s over the chip's bf16 peak
+    (VERDICT r4 #4). ``flops_per_step`` is the XLA cost-analysis count of
+    the full compiled step (fwd+bwd+optimizer), so this is an upper bound
+    on textbook MFU (which counts only ideal model FLOPs) but is auditable
+    from the program actually executed. Returns None off-TPU."""
+    peak = chip_peak_flops(device)
+    if peak is None or not (flops_per_step == flops_per_step) \
+            or step_seconds <= 0:
+        return None
+    return flops_per_step / step_seconds / peak

@@ -1,21 +1,33 @@
 """Multi-host worker: one mean_teacher step on a 2-process x 4-device CPU
 mesh (spawned by tests/test_multihost.py; not collected by pytest).
 
-argv: process_id num_processes port devices_per_proc
-Prints 'LOSS <float>' on success.
+argv: process_id num_processes port devices_per_proc [mode]
+Prints 'LOSS <float>' on success (mode omitted / 'ok').
+
+Failure-injection modes (VERDICT r4 #8 — exercise the deadline/kill
+machinery, not just the happy path). All act AFTER distributed init (the
+coordinator requires every process to connect before initialize returns):
+  die            exit(3) immediately — a mid-run worker death
+  hang           sleep 600 s without ever reaching the barrier
+  barrier:<s>    call coordination_barrier('mh_failure_test', timeout_s=s);
+                 print 'BARRIER_TIMEOUT <reason>' and exit 0 when the peer
+                 never arrives (dead or hung), 'BARRIER_OK' if it does
 """
 
 import sys
+import time
 
 import jax
 
 pid, nproc, port, ndev = (int(v) for v in sys.argv[1:5])
+mode = sys.argv[5] if len(sys.argv) > 5 else "ok"
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", ndev)
 
 import numpy as np
 
-from hpfg_tpu.parallel.distributed import (global_batch_from_local,
+from hpfg_tpu.parallel.distributed import (coordination_barrier,
+                                           global_batch_from_local,
                                            init_distributed,
                                            is_main_process)
 
@@ -23,6 +35,21 @@ if nproc > 1:
     init_distributed(coordinator_address=f"localhost:{port}",
                      num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc
+
+if mode == "die":
+    sys.exit(3)
+elif mode == "hang":
+    time.sleep(600)
+    sys.exit(4)  # unreachable in tests: the harness kills hung workers
+elif mode.startswith("barrier:"):
+    timeout_s = float(mode.split(":", 1)[1])
+    try:
+        coordination_barrier("mh_failure_test", timeout_s=timeout_s)
+        print("BARRIER_OK", flush=True)
+    except Exception as e:  # noqa: BLE001 — the failure IS the assertion
+        print(f"BARRIER_TIMEOUT {type(e).__name__}: {e}", flush=True)
+    sys.exit(0)
+assert mode == "ok", f"unknown worker mode {mode!r}"
 
 import jax.numpy as jnp
 

@@ -37,14 +37,15 @@ def _env():
 _DEADLINE = 800 if (os.cpu_count() or 1) >= 4 else 2400
 
 
-def _run(pid: int, nproc: int, port: int, ndev: int):
+def _run(pid: int, nproc: int, port: int, ndev: int, mode: str | None = None):
+    argv = [sys.executable, WORKER, str(pid), str(nproc), str(port),
+            str(ndev)] + ([mode] if mode else [])
     return subprocess.Popen(
-        [sys.executable, WORKER, str(pid), str(nproc), str(port), str(ndev)],
-        env=_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        argv, env=_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True)
 
 
-def _join_all(procs):
+def _join_all(procs, deadline_s: float | None = None, check: bool = True):
     """Drain every worker's pipe CONCURRENTLY: a sequential communicate()
     loop leaves the un-drained sibling free to block on a full pipe while
     both sit in a distributed barrier — a deadlock that looks like a
@@ -62,7 +63,8 @@ def _join_all(procs):
         t.start()
     # one shared absolute deadline: per-thread join(_DEADLINE) would stack
     # to N x _DEADLINE wall-clock when several workers hang
-    deadline = time.monotonic() + _DEADLINE
+    limit = _DEADLINE if deadline_s is None else deadline_s
+    deadline = time.monotonic() + limit
     for t in threads:
         t.join(timeout=max(0.0, deadline - time.monotonic()))
     hung = [p for p in procs if p.poll() is None]
@@ -73,9 +75,10 @@ def _join_all(procs):
         for p in hung:
             p.kill()
         raise AssertionError(
-            f"{len(hung)} worker(s) did not finish within {_DEADLINE}s")
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out}"
+            f"{len(hung)} worker(s) did not finish within {limit}s")
+    if check:
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{out}"
     return outs
 
 
@@ -96,3 +99,49 @@ def test_two_process_loss_matches_single_process():
 
     # identical global arrays + identical program -> identical loss
     assert loss_mp == pytest.approx(loss_sp, abs=1e-6), (loss_mp, loss_sp)
+
+
+# -- failure modes (VERDICT r4 #8): the deadline/kill machinery is
+# failure-handling code, so its failure paths are its spec ---------------
+
+
+def test_barrier_times_out_on_dead_peer():
+    """A worker that dies mid-run must NOT leave the survivor hanging
+    forever: coordination_barrier's explicit timeout surfaces an error the
+    caller can act on (the reference has no distributed code — SURVEY §5.8
+    — so this rebuilt subsystem's tests are its only spec)."""
+    port = _free_port()
+    survivor = _run(0, 2, port, 1, mode="barrier:20")
+    dead = _run(1, 2, port, 1, mode="die")
+    outs = _join_all([survivor, dead], deadline_s=300, check=False)
+    assert dead.returncode == 3
+    assert survivor.returncode == 0, f"survivor crashed:\n{outs[0]}"
+    assert "BARRIER_TIMEOUT" in outs[0], outs[0]
+
+
+def test_barrier_times_out_on_hung_peer():
+    """Same, with the peer alive-but-stuck (never reaches the barrier):
+    pure timeout path, then the harness reaps the hung process."""
+    port = _free_port()
+    survivor = _run(0, 2, port, 1, mode="barrier:20")
+    hung = _run(1, 2, port, 1, mode="hang")
+    try:
+        out = survivor.communicate(timeout=300)[0]
+        assert survivor.returncode == 0, f"survivor crashed:\n{out}"
+        assert "BARRIER_TIMEOUT" in out, out
+    finally:
+        hung.kill()
+        hung.wait(timeout=60)
+
+
+def test_join_all_kills_hung_workers():
+    """_join_all's shared-deadline reaper: a worker that never finishes is
+    killed (not leaked to serialize against the suite) and the join raises
+    naming the deadline."""
+    port = _free_port()
+    proc = _run(0, 1, port, 1, mode="hang")
+    with pytest.raises(AssertionError, match="did not finish"):
+        _join_all([proc], deadline_s=25)
+    # the reaper must actually have killed it
+    assert proc.poll() is not None
+    proc.wait(timeout=60)

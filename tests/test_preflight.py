@@ -27,12 +27,32 @@ from hpfg_tpu.data.synthetic import (
     (make_synthetic_lidc, "lidc", 2),
     (make_synthetic_isic, "isic", 2),
     (make_synthetic_synapse, "synapse", 9),
-    (make_synthetic_building, "building", 2),
+    (make_synthetic_building, "sup_building", 2),
 ])
 def test_valid_tree_passes(tmp_path, maker, dataset, ncls):
     root = str(tmp_path / dataset)
     maker(root)
     assert validate_data_tree(root, dataset, ncls) == []
+
+
+def test_every_builder_dataset_has_a_validator():
+    """ADVICE r4 (high): preflight_or_raise runs before any model is built,
+    so every dataset name build_loader accepts MUST have a validator — a
+    missing entry aborts valid training runs at startup. The accepted names
+    are extracted from builder.py's literal dispatch to stay in sync."""
+    import inspect
+    import re
+
+    from hpfg_tpu.data import builder
+    from hpfg_tpu.data.preflight import _VALIDATORS
+
+    src = inspect.getsource(builder.build_loader)
+    accepted = set(re.findall(r'name == "([a-z_]+)"', src))
+    assert accepted, "failed to extract dataset names from builder.py"
+    missing = accepted - set(_VALIDATORS)
+    assert not missing, f"builder datasets without preflight: {missing}"
+    orphans = set(_VALIDATORS) - accepted
+    assert not orphans, f"preflight keys builder.py rejects: {orphans}"
 
 
 def test_missing_root_and_unknown_dataset(tmp_path):
