@@ -14,6 +14,7 @@ coordinator requires every process to connect before initialize returns):
                  never arrives (dead or hung), 'BARRIER_OK' if it does
 """
 
+import os
 import sys
 import time
 
@@ -48,7 +49,12 @@ elif mode.startswith("barrier:"):
         print("BARRIER_OK", flush=True)
     except Exception as e:  # noqa: BLE001 — the failure IS the assertion
         print(f"BARRIER_TIMEOUT {type(e).__name__}: {e}", flush=True)
-    sys.exit(0)
+    # _exit: the normal interpreter exit runs jax.distributed's atexit
+    # shutdown, which blocks waiting for the HUNG peer to also shut down
+    # (observed: survivor timed out the barrier in 20 s, then hung >300 s
+    # at exit). The scenario under test ends at the printed verdict.
+    sys.stdout.flush()
+    os._exit(0)
 assert mode == "ok", f"unknown worker mode {mode!r}"
 
 import jax.numpy as jnp
