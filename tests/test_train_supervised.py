@@ -75,6 +75,31 @@ class TestSupervised:
         leaf_b = jax.tree_util.tree_leaves(restored.model.params)[0]
         np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
 
+    def test_midrun_exception_still_cleans_up(self, synthetic_acdc,
+                                              tmp_path):
+        """ADVICE r4: an exception mid-run must still join the overlapped
+        eval worker and shut the pool down (else interpreter shutdown blocks
+        on the non-daemon thread), and the primary error must surface."""
+        cfg = tiny_cfg(synthetic_acdc, datasets="sup_acdc", batch_size=8,
+                       total_itrs=20, step_size=2, prefetch=0)
+        algo = build_algorithm("supervised", cfg)
+
+        orig_batches = algo.batches
+
+        def poisoned(loaders):
+            it = orig_batches(loaders)
+            for i in range(5):  # past an eval boundary (step_size=2)
+                yield next(it)
+            raise RuntimeError("loader died mid-run")
+
+        algo.batches = poisoned
+        trainer = Trainer(cfg, algo, workdir=str(tmp_path / "run"),
+                          enable_tb=False)
+        with pytest.raises(RuntimeError, match="loader died mid-run"):
+            trainer.fit()
+        assert trainer._eval_pool is None  # pool shut down in finally
+        assert trainer._eval_future is None  # worker joined, not leaked
+
 
 class TestMeanTeacher:
     def test_train_and_teacher_tracks_student(self, synthetic_acdc, tmp_path):
