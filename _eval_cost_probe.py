@@ -98,35 +98,48 @@ def main() -> int:
     t_eval, _ = timed(lambda: trainer.evaluate(snap, 2))
     best_saves_fired = trainer.best_dice != best_before
 
-    # 3. interior split of one evaluate: shim SliceForward.__call__ and the
-    #    metric fn to accumulate time
+    # 3. interior split of one evaluate: shim the pieces evaluate_volumes
+    #    actually calls — SliceForward.device_chunks (H2D + forward
+    #    Executes), the confusion jit + its readbacks (wrap
+    #    volume_confusion_sums minus device_chunks), and binary_hd95 (host
+    #    EDT)
+    from hpfg_tpu.evals import metrics as met_mod
     from hpfg_tpu.evals import volume as vol_mod
 
-    acc = {"fwd_device_s": 0.0, "metrics_host_s": 0.0}
-    orig_call = vol_mod.SliceForward.__call__
-    orig_metric = vol_mod.calculate_metric_percase
+    acc = {"fwd_s": 0.0, "hd95_s": 0.0, "conf_total_s": 0.0}
+    orig_chunks = vol_mod.SliceForward.device_chunks
+    orig_hd95 = met_mod.binary_hd95
+    orig_conf = vol_mod.volume_confusion_sums
 
-    def timed_call(self, *a, **kw):
+    def timed_chunks(self, *a, **kw):
         t0 = time.perf_counter()
-        out = orig_call(self, *a, **kw)
-        acc["fwd_device_s"] += time.perf_counter() - t0
+        out = orig_chunks(self, *a, **kw)
+        acc["fwd_s"] += time.perf_counter() - t0
         return out
 
-    def timed_metric(*a, **kw):
+    def timed_hd95(*a, **kw):
         t0 = time.perf_counter()
-        out = orig_metric(*a, **kw)
-        acc["metrics_host_s"] += time.perf_counter() - t0
+        out = orig_hd95(*a, **kw)
+        acc["hd95_s"] += time.perf_counter() - t0
         return out
 
-    vol_mod.SliceForward.__call__ = timed_call
-    vol_mod.calculate_metric_percase = timed_metric
+    def timed_conf(*a, **kw):
+        t0 = time.perf_counter()
+        out = orig_conf(*a, **kw)
+        acc["conf_total_s"] += time.perf_counter() - t0
+        return out
+
+    vol_mod.SliceForward.device_chunks = timed_chunks
+    met_mod.binary_hd95 = timed_hd95
+    vol_mod.volume_confusion_sums = timed_conf
     try:
         t_eval_shim = time.perf_counter()
         trainer.evaluate(snap, 3)
         t_eval_shim = time.perf_counter() - t_eval_shim
     finally:
-        vol_mod.SliceForward.__call__ = orig_call
-        vol_mod.calculate_metric_percase = orig_metric
+        vol_mod.SliceForward.device_chunks = orig_chunks
+        met_mod.binary_hd95 = orig_hd95
+        vol_mod.volume_confusion_sums = orig_conf
 
     # 4. rotating orbax save (the every-boundary crash-recovery ckpt),
     #    including its async finalize
@@ -148,10 +161,12 @@ def main() -> int:
         "evaluate_s": round(t_eval, 3),
         "evaluate_split": {
             "total_s": round(t_eval_shim, 3),
-            "fwd_device_s": round(acc["fwd_device_s"], 3),
-            "metrics_host_s": round(acc["metrics_host_s"], 3),
-            "other_s": round(t_eval_shim - acc["fwd_device_s"]
-                             - acc["metrics_host_s"], 3),
+            "fwd_h2d_and_forward_s": round(acc["fwd_s"], 3),
+            "confusion_and_readbacks_s": round(acc["conf_total_s"]
+                                               - acc["fwd_s"], 3),
+            "hd95_host_edt_s": round(acc["hd95_s"], 3),
+            "other_s": round(t_eval_shim - acc["conf_total_s"]
+                             - acc["hd95_s"], 3),
         },
         "rotating_ckpt_s": round(t_rot, 3),
         "best_ckpt_s": round(t_best, 3),

@@ -17,6 +17,10 @@ import os
 import sys
 
 leg = sys.argv[1] if len(sys.argv) > 1 else "default"
+# optional: bench a different config row (default: the HPFG flagship)
+ALGO = sys.argv[2] if len(sys.argv) > 2 else "hpfg"
+CFG = (sys.argv[3] if len(sys.argv) > 3
+       else "configs/hpfg_unet_plus_30k_224x224_ACDC.yaml")
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -34,8 +38,7 @@ def main() -> int:
     enable_persistent_cache(platform=jax.devices()[0].platform)
     import bench_all
 
-    row = bench_all.bench_one(
-        "hpfg", "configs/hpfg_unet_plus_30k_224x224_ACDC.yaml")
+    row = bench_all.bench_one(ALGO, CFG)
     row["leg"] = leg
     row["env"] = {k: v for k, v in os.environ.items()
                   if k.startswith("HPFG_")}

@@ -46,23 +46,49 @@ def binary_jaccard(pred, gt) -> float:
     return inter / union
 
 
+def _border(a: np.ndarray) -> np.ndarray:
+    """Connectivity-1 border voxels of a binary mask (medpy convention)."""
+    footprint = ndimage.generate_binary_structure(a.ndim, 1)
+    return a ^ ndimage.binary_erosion(a, structure=footprint, iterations=1)
+
+
 def _surface_distances(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Distances from border voxels of `a` to the border of `b`
     (medpy __surface_distances, connectivity=1, unit voxel spacing)."""
     a, b = _as_binary(a), _as_binary(b)
     if not a.any() or not b.any():
         raise ValueError("surface distance undefined for empty masks")
-    footprint = ndimage.generate_binary_structure(a.ndim, 1)
-    a_border = a ^ ndimage.binary_erosion(a, structure=footprint, iterations=1)
-    b_border = b ^ ndimage.binary_erosion(b, structure=footprint, iterations=1)
-    dt = ndimage.distance_transform_edt(~b_border)
-    return dt[a_border]
+    return ndimage.distance_transform_edt(~_border(b))[_border(a)]
 
 
-def binary_hd95(pred, gt) -> float:
-    """95th-percentile symmetric Hausdorff distance (medpy hd95)."""
-    d1 = _surface_distances(pred, gt)
-    d2 = _surface_distances(gt, pred)
+def gt_surface_cache(gt) -> dict:
+    """Precompute the gt-side border + EDT for :func:`binary_hd95`.
+
+    Multi-model evals score several predictions against the SAME ground
+    truth; the gt border and EDT(~gt_border) are half of each hd95's EDT
+    work and identical across models (EVAL_COST_r05: host EDT was 0.38 s
+    of a 1.4 s eval boundary on a 1-core host)."""
+    g = _as_binary(gt)
+    border = _border(g)
+    return {"any": bool(g.any()), "border": border,
+            "dt": ndimage.distance_transform_edt(~border)}
+
+
+def binary_hd95(pred, gt, gt_cache: dict | None = None) -> float:
+    """95th-percentile symmetric Hausdorff distance (medpy hd95).
+
+    ``gt_cache``: optional :func:`gt_surface_cache` of ``gt`` — must match
+    the ``gt`` argument; skips recomputing the gt border/EDT."""
+    if gt_cache is None:
+        d1 = _surface_distances(pred, gt)
+        d2 = _surface_distances(gt, pred)
+    else:
+        p = _as_binary(pred)
+        if not p.any() or not gt_cache["any"]:
+            raise ValueError("surface distance undefined for empty masks")
+        p_border = _border(p)
+        d1 = gt_cache["dt"][p_border]                         # pred → gt
+        d2 = ndimage.distance_transform_edt(~p_border)[gt_cache["border"]]
     return float(max(np.percentile(d1, 95), np.percentile(d2, 95)))
 
 

@@ -86,15 +86,29 @@ class SliceForward:
     def device_chunks(self, variables, slices: np.ndarray) -> list:
         """Forward all (padded) chunks, returning DEVICE arrays [chunk,H,W]
         int32 — callers that keep working on device avoid the readback."""
+        return self.forward_chunks(variables, self.put_slices(slices))
+
+    def put_slices(self, slices: np.ndarray) -> list:
+        """Pad to chunk multiples and upload ONCE, returning device chunks.
+
+        Multi-model evals reuse the same uploaded slices across models —
+        through the dev tunnel every fresh H2D pays a ~26 ms floor
+        (CLAUDE.md), so per-model re-uploads dominate eval boundaries
+        (EVAL_COST_r05.json)."""
         d = slices.shape[0]
         pad = (-d) % self.chunk
         if pad:
             slices = np.concatenate(
                 [slices, np.zeros((pad,) + slices.shape[1:], slices.dtype)])
-        outs = []
-        for i in range(0, slices.shape[0], self.chunk):
-            outs.append(self._fwd(variables, self._put(slices[i:i + self.chunk])))
-        return outs
+        sharding = (batch_sharding(self.mesh, slices.ndim)
+                    if self.mesh is not None and self.mesh.devices.size > 1
+                    else None)
+        return [jax.device_put(slices[i:i + self.chunk], sharding)
+                for i in range(0, slices.shape[0], self.chunk)]
+
+    def forward_chunks(self, variables, dev_chunks: list) -> list:
+        """Forward already-uploaded device chunks (see put_slices)."""
+        return [self._fwd(variables, c) for c in dev_chunks]
 
 
 # Eval slices cross host→device in float16: the dev tunnel's H2D sustains
@@ -249,6 +263,129 @@ def dice_from_sums(sums: np.ndarray) -> np.ndarray:
                     2.0 * inter / np.maximum(denom, 1),
                     np.where((ps > 0) & (ls == 0), 1.0, 0.0))
     return dice
+
+
+_DICE_ACCUM_CACHE: dict = {}
+
+
+def _dice_accum_fn(num_classes: int):
+    """Jitted on-device per-volume dice (3-branch rule of dice_from_sums)
+    accumulated into a running [C-1] sum — no per-volume readback."""
+    if num_classes not in _DICE_ACCUM_CACHE:
+
+        def fn(sums, acc):
+            inter = sums[:, 0].astype(jnp.float32)
+            ps = sums[:, 1].astype(jnp.float32)
+            ls = sums[:, 2].astype(jnp.float32)
+            dice = jnp.where(
+                (ps > 0) & (ls > 0),
+                2.0 * inter / jnp.maximum(ps + ls, 1.0),
+                jnp.where((ps > 0) & (ls == 0), 1.0, 0.0))
+            return acc + dice
+
+        _DICE_ACCUM_CACHE[num_classes] = jax.jit(fn)
+    return _DICE_ACCUM_CACHE[num_classes]
+
+
+def evaluate_volumes_multi(forward: SliceForward, named_variables: dict,
+                           volumes, num_classes: int,
+                           patch_size: tuple[int, int], zoom_order: int = 0,
+                           compute_hd95: bool = True,
+                           want_first: bool = True) -> dict:
+    """Evaluate SEVERAL models' variables over the same volumes with shared
+    per-volume work (EVAL_COST_r05: per-boundary eval cost was dominated by
+    per-(model, volume) H2D/D2H round-trips at the ~26 ms tunnel floor and
+    duplicated gt-side EDT):
+
+      * each volume's slices / labels / zoom index maps upload ONCE and are
+        reused by every model (same wire input regardless of architecture);
+      * per-volume dice accumulates ON DEVICE (one [C-1] readback per model
+        at the end instead of one per volume);
+      * hd95's gt border/EDT is computed once per (volume, class) and
+        shared across models (metrics.gt_surface_cache);
+      * the prediction readback (1 per model·volume) remains — it feeds
+        host EDT — unless ``compute_hd95=False`` and ``want_first=False``.
+
+    Returns {name: (mean_dice, mean_hd95, per_class [C-1, 2], first)} with
+    identical semantics to per-model :func:`evaluate_volumes` calls
+    (reference volume-then-class averaging, val.py:187-193)."""
+    from hpfg_tpu.evals.metrics import binary_hd95, gt_surface_cache
+
+    names = list(named_variables)
+    c1 = num_classes - 1
+    confusion = _confusion_and_unzoom_fn(num_classes)
+    dice_fn = _dice_accum_fn(num_classes)
+    dice_acc = {n: jnp.zeros(c1, jnp.float32) for n in names}
+    hd_sum = {n: np.zeros(c1, np.float64) for n in names}
+    firsts: dict = {n: None for n in names}
+    count = 0
+    mesh = forward.mesh
+    multi_dev = mesh is not None and mesh.devices.size > 1
+
+    for image, label in volumes:
+        image = np.asarray(image, dtype=np.float32)
+        label = np.asarray(label)
+        d, h, w = image.shape
+        ph, pw = patch_size
+        resized = _resize_volume(image, patch_size, zoom_order)
+        dev_slices = forward.put_slices(
+            resized[..., None].astype(forward.wire_dtype))
+        chunk = forward.chunk
+
+        hb, wb = pad_to_multiple(h, HW_BUCKET), pad_to_multiple(w, HW_BUCKET)
+        ys = np.zeros(hb, np.int32)
+        xs = np.zeros(wb, np.int32)
+        same = (h, w) == (ph, pw)
+        ys[:h] = np.arange(h) if same else _zoom_index_map(ph, h)
+        xs[:w] = np.arange(w) if same else _zoom_index_map(pw, w)
+        ys_d, xs_d = jnp.asarray(ys), jnp.asarray(xs)
+        label_p = np.zeros((len(dev_slices) * chunk, hb, wb), np.int32)
+        label_p[:d, :h, :w] = label
+        label_chunks = [
+            jax.device_put(label_p[i * chunk:(i + 1) * chunk],
+                           batch_sharding(mesh, 3) if multi_dev else None)
+            for i in range(len(dev_slices))]
+
+        gt_caches = None
+        if compute_hd95:
+            gt_caches = [gt_surface_cache(label == c)
+                         for c in range(1, num_classes)]
+
+        for n in names:
+            preds = forward.forward_chunks(named_variables[n], dev_slices)
+            total = None
+            pred_chunks = []
+            for i, pred_c in enumerate(preds):
+                n_valid = np.clip(d - i * chunk, 0, chunk)
+                sums, pred_native = confusion(
+                    pred_c, label_chunks[i], ys_d, xs_d,
+                    np.int32(n_valid), np.int32(h), np.int32(w))
+                total = sums if total is None else total + sums
+                pred_chunks.append(pred_native)
+            dice_acc[n] = dice_fn(total, dice_acc[n])
+
+            if compute_hd95 or (want_first and firsts[n] is None):
+                pred = np.concatenate(
+                    [np.asarray(p) for p in pred_chunks])[:d, :h, :w]
+                if compute_hd95:
+                    for c in range(1, num_classes):
+                        pmask = pred == c
+                        if pmask.sum() > 0 and gt_caches[c - 1]["any"]:
+                            hd_sum[n][c - 1] += binary_hd95(
+                                pmask, label == c,
+                                gt_cache=gt_caches[c - 1])
+                if firsts[n] is None:
+                    firsts[n] = (image, label, pred)
+        count += 1
+
+    results = {}
+    for n in names:
+        dice_pc = np.asarray(dice_acc[n]).astype(np.float64) / max(count, 1)
+        hd_pc = hd_sum[n] / max(count, 1)
+        per_class = np.stack([dice_pc, hd_pc], axis=1)
+        results[n] = (float(dice_pc.mean()), float(hd_pc.mean()),
+                      per_class, firsts[n])
+    return results
 
 
 def evaluate_volumes(forward: SliceForward, variables, volumes,

@@ -24,7 +24,11 @@ import jax
 import numpy as np
 
 from hpfg_tpu.data import build_loader
-from hpfg_tpu.evals.volume import SliceForward, evaluate_images, evaluate_volumes
+from hpfg_tpu.evals.volume import (
+    SliceForward,
+    evaluate_images,
+    evaluate_volumes_multi,
+)
 from hpfg_tpu.parallel.mesh import get_mesh, shard_batch
 from hpfg_tpu.train.algorithms.base import eval_variables
 from hpfg_tpu.utils.checkpoint import CheckpointManager
@@ -426,20 +430,34 @@ class Trainer:
 
     def evaluate(self, state, cur_itrs: int) -> dict[str, tuple[float, float]]:
         results = {}
-        for name, (model, mstate) in self.algorithm.eval_models(state).items():
-            fwd = self._slice_forward(model)
-            variables = eval_variables(mstate)
-            dsname = str(self.cfg.datasets).lower()
-            if dsname in VOLUME_DATASETS:
-                order = 3 if "synapse" in dsname else 0
-                dice, hd95, per_class, first = evaluate_volumes(
-                    fwd, variables, self.test_loader, self.num_classes,
-                    self.test_crop, zoom_order=order)
-                self._log_panels(name, first, cur_itrs)
-            else:
-                dice, hd95, *_ = evaluate_images(fwd, variables,
-                                                 self.test_loader)
-            results[name] = (dice, hd95)
+        eval_models = self.algorithm.eval_models(state)
+        dsname = str(self.cfg.datasets).lower()
+        if dsname in VOLUME_DATASETS:
+            # models sharing an architecture (e.g. student + its EMA) are
+            # evaluated together: one upload of each volume, gt-EDT shared,
+            # dice accumulated on device (EVAL_COST_r05 — the per-model
+            # round-trips were most of the ~1.4 s eval-boundary tax)
+            order = 3 if "synapse" in dsname else 0
+            groups: dict[int, tuple] = {}
+            for name, (model, mstate) in eval_models.items():
+                fwd = self._slice_forward(model)
+                groups.setdefault(id(fwd), (fwd, {}))[1][name] = \
+                    eval_variables(mstate)
+            for fwd, named in groups.values():
+                res = evaluate_volumes_multi(
+                    fwd, named, self.test_loader, self.num_classes,
+                    self.test_crop, zoom_order=order,
+                    want_first=not self._writer_disabled())
+                for name, (dice, hd95, _per_class, first) in res.items():
+                    self._log_panels(name, first, cur_itrs)
+                    results[name] = (dice, hd95)
+        else:
+            for name, (model, mstate) in eval_models.items():
+                fwd = self._slice_forward(model)
+                dice, hd95, *_ = evaluate_images(
+                    fwd, eval_variables(mstate), self.test_loader)
+                results[name] = (dice, hd95)
+        for name, (dice, hd95) in results.items():
             self.writer.add_scalar(f"{self.algorithm.name}/{name}_dice",
                                    dice, cur_itrs)
             self.writer.add_scalar(f"{self.algorithm.name}/{name}_hd95",

@@ -152,3 +152,55 @@ class TestVolumeEval:
         assert 0.3 < dice <= 1.0  # noisy phantom, far above chance
         assert np.isfinite(hd95)
         assert per_class.shape == (3, 2)
+
+    def test_evaluate_volumes_multi_matches_single(self, synthetic_acdc):
+        """evaluate_volumes_multi (shared uploads, on-device dice accum,
+        gt-EDT cache — EVAL_COST_r05) must reproduce per-model
+        evaluate_volumes results for models that differ."""
+        import jax.numpy as jnp
+
+        from hpfg_tpu.data.acdc import ACDCDataset
+        from hpfg_tpu.data.loader import VolumeLoader
+        from hpfg_tpu.evals.volume import (SliceForward, evaluate_volumes,
+                                           evaluate_volumes_multi)
+
+        def apply_fn(variables, x):
+            img = x[..., 0] * variables["gain"]
+            logits = jnp.stack([
+                -jnp.abs(img - 0.2), -jnp.abs(img - 0.35),
+                -jnp.abs(img - 0.5), -jnp.abs(img - 0.65)], axis=-1)
+            return logits * 50
+
+        fwd = SliceForward(apply_fn, chunk=4)
+        named = {"good": {"gain": jnp.float32(1.0)},
+                 "skewed": {"gain": jnp.float32(1.3)}}
+
+        def vols():
+            return VolumeLoader(
+                ACDCDataset(synthetic_acdc, "test", cache=False))
+
+        multi = evaluate_volumes_multi(fwd, named, vols(), num_classes=4,
+                                       patch_size=(32, 32))
+        for name, variables in named.items():
+            dice, hd95, per_class, first = evaluate_volumes(
+                fwd, variables, vols(), num_classes=4, patch_size=(32, 32))
+            m_dice, m_hd95, m_pc, m_first = multi[name]
+            assert abs(m_dice - dice) < 1e-5, (name, m_dice, dice)
+            assert abs(m_hd95 - hd95) < 1e-9, (name, m_hd95, hd95)
+            np.testing.assert_allclose(m_pc, per_class, atol=1e-5)
+            np.testing.assert_array_equal(m_first[2], first[2])
+        # the two models genuinely differ (the test discriminates)
+        assert multi["good"][0] != multi["skewed"][0]
+
+    def test_hd95_gt_cache_matches_uncached(self):
+        from hpfg_tpu.evals.metrics import binary_hd95, gt_surface_cache
+
+        rng = np.random.default_rng(7)
+        gt = np.zeros((4, 24, 24), bool)
+        gt[:, 6:14, 6:14] = True
+        pred = np.zeros_like(gt)
+        pred[:, 8:17, 7:15] = True
+        cache = gt_surface_cache(gt)
+        assert binary_hd95(pred, gt, gt_cache=cache) == binary_hd95(pred, gt)
+        pred2 = rng.random(gt.shape) > 0.6
+        assert binary_hd95(pred2, gt, gt_cache=cache) == binary_hd95(pred2, gt)
