@@ -83,31 +83,6 @@ def window_reverse(x: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
     return x.reshape(b, h, w, -1)
 
 
-def layer_norm_f32(x: jnp.ndarray, name: str, dtype,
-                   epsilon: float = 1e-6) -> jnp.ndarray:
-    """nn.LayerNorm in fp32 with the OUTPUT cast to ``dtype``.
-
-    Must be called inside a module's @nn.compact __call__ — the LN
-    registers under the caller with ``name``, so param paths/names
-    (<caller>/<name>/{scale,bias}) are identical to a direct nn.LayerNorm
-    and torch ports / checkpoints load unchanged.
-
-    Why: nn.LayerNorm(dtype=float32) on a bf16 stream returns fp32
-    activations, so every block materializes full-size fp32 tensors (and
-    fp32 backward adds): 43 ms/step of the ccnet_swinunet 224² audit
-    (_chain/step_audit_swin.json) was LayerNorm traffic. Consumers all
-    cast to the compute dtype anyway — casting at the LN output instead
-    is value-identical forward, and with dtype=float32 this is exactly
-    plain nn.LayerNorm. The stats/normalize stay the stock flax
-    formulation: a hand-written equivalent defeated XLA's LayerNorm
-    fusion patterns and DOUBLED the cost
-    (_chain/step_audit_swin_lnfix.json); the output convert fuses into
-    the LN's own output fusion. (reference nn.LayerNorm,
-    swinunet.py:251-279)"""
-    y = nn.LayerNorm(epsilon=epsilon, dtype=jnp.float32, name=name)(x)
-    return y.astype(dtype)
-
-
 class WindowAttention(nn.Module):
     """W-MSA / SW-MSA with relative position bias
     (reference swinunet.py:136-250)."""
@@ -237,13 +212,13 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        y = layer_norm_f32(x, "norm1", self.dtype)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         y = WindowAttention(self.dim, self.window_size, self.num_heads,
                             self.shift, self.qkv_bias, self.attn_drop,
                             self.drop, self.use_pallas, self.dtype,
                             name="attn")(y, train)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, train)
-        y = layer_norm_f32(x, "norm2", self.dtype)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
                 self.dtype, name="mlp")(y, train)
         return x + DropPath(self.drop_path, name="drop_path2")(y, train)
@@ -265,7 +240,7 @@ class PatchEmbedding(nn.Module):
                     bias_init=torch_bias_init(p * p * x.shape[-1]),
                     name="proj")(x)
         if self.patch_norm:
-            x = layer_norm_f32(x, "norm", self.dtype)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
         return x.astype(self.dtype)
 
 
@@ -283,7 +258,7 @@ class PatchMergingExact(nn.Module):
         x2 = x[:, 0::2, 1::2, :]
         x3 = x[:, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = layer_norm_f32(x, "norm", self.dtype)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
         x = nn.Dense(2 * self.dim, use_bias=False, kernel_init=_DENSE_INIT,
                      dtype=self.dtype, name="reduction")(x)
         return x
@@ -303,43 +278,27 @@ class PatchExpanding(nn.Module):
         x = x.reshape(b, h, w, 2, 2, self.dim // 2)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * 2, w * 2,
                                                   self.dim // 2)
-        return layer_norm_f32(x, "norm", self.dtype)
+        return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
 
 
 class FinalPatchExpanding(nn.Module):
     """Linear C→p²C + pxp depth-to-space + LN (reference swinunet.py:100-111;
     p = patch_size, 4 for the 224 models, 2 for the LIDC variant,
-    swinunet_LIDC.py:101-111).
-
-    TPU layout note: the depth-to-space expansion is a pure permutation of
-    (token, channel) pairs, so the per-token LN — and any 1×1 head the
-    caller passes as ``head_fn`` — commute with it EXACTLY. Computing them
-    on the compact [B, h, w, p², C] form and expanding last moves the
-    expensive 6-D relayout from a [B, 224, 224, 96] feature tensor to the
-    [B, 224, 224, num_classes] logits (audit: 2.5 ms/step per relayout
-    copy ×3 model passes at fp32, _chain/step_audit_swin.json)."""
+    swinunet_LIDC.py:101-111)."""
 
     dim: int
     patch: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, head_fn=None):
+    def __call__(self, x):
         b, h, w, c = x.shape
         p = self.patch
         x = nn.Dense(p * p * self.dim, use_bias=False, kernel_init=_DENSE_INIT,
                      dtype=self.dtype, name="expand")(x)
-        # [B, h, w, p², C]: entry (pi·p + pj, c) is output pixel
-        # (h·p + pi, w·p + pj) channel c — the same tokens the expanded
-        # form would hold, so last-axis LN here is value-identical
-        x = x.reshape(b, h, w, p * p, self.dim)
-        x = layer_norm_f32(x, "norm", self.dtype)
-        if head_fn is not None:
-            x = head_fn(x)
-        f = x.shape[-1]
-        x = x.reshape(b, h, w, p, p, f)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * p, w * p, f)
-        return x
+        x = x.reshape(b, h, w, p, p, self.dim)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * p, w * p, self.dim)
+        return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
 
 
 def _drop_path_rates(drop_path: float, depths: Sequence[int]):
@@ -490,23 +449,12 @@ class SwinUNetDecoder(nn.Module):
                             patch_expanding=(i < n - 2),
                             use_pallas=self.use_pallas, dtype=self.dtype,
                             name=f"layer_up{i}")(x, train)
-        x = layer_norm_f32(x, "norm_up", self.dtype)
-        head = nn.Conv(self.num_classes, (1, 1), use_bias=False,
-                       kernel_init=TORCH_KERNEL_INIT,
-                       dtype=self.dtype, name="head")
-
-        def head_fn(t):
-            # 1×1 conv on the compact pre-expansion form (see
-            # FinalPatchExpanding): rank-4 view [B, h, w·p², C] feeds the
-            # SAME Conv params; a 1×1 conv is per-token, so position
-            # layout is irrelevant
-            b, h, w, pp, c = t.shape
-            out = head(t.reshape(b, h, w * pp, c))
-            return out.reshape(b, h, w, pp, out.shape[-1])
-
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm_up")(x)
         x = FinalPatchExpanding(self.embed_dim, self.patch_size, self.dtype,
-                                name="final_patch_expanding")(
-                                    x, head_fn=head_fn)
+                                name="final_patch_expanding")(x)
+        x = nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                    kernel_init=TORCH_KERNEL_INIT,
+                    dtype=self.dtype, name="head")(x)
         return x.astype(jnp.float32)
 
 
