@@ -436,13 +436,24 @@ class Trainer:
             # models sharing an architecture (e.g. student + its EMA) are
             # evaluated together: one upload of each volume, gt-EDT shared,
             # dice accumulated on device (EVAL_COST_r05 — the per-model
-            # round-trips were most of the ~1.4 s eval-boundary tax)
+            # round-trips were most of the ~1.4 s eval-boundary tax).
+            # HPFG_EVAL_MULTI=0 restores the per-model path (A/B hook).
             order = 3 if "synapse" in dsname else 0
+            use_multi = os.environ.get("HPFG_EVAL_MULTI", "1") == "1"
             groups: dict[int, tuple] = {}
             for name, (model, mstate) in eval_models.items():
                 fwd = self._slice_forward(model)
-                groups.setdefault(id(fwd), (fwd, {}))[1][name] = \
-                    eval_variables(mstate)
+                if use_multi:
+                    groups.setdefault(id(fwd), (fwd, {}))[1][name] = \
+                        eval_variables(mstate)
+                else:
+                    from hpfg_tpu.evals.volume import evaluate_volumes
+
+                    dice, hd95, _pc, first = evaluate_volumes(
+                        fwd, eval_variables(mstate), self.test_loader,
+                        self.num_classes, self.test_crop, zoom_order=order)
+                    self._log_panels(name, first, cur_itrs)
+                    results[name] = (dice, hd95)
             for fwd, named in groups.values():
                 res = evaluate_volumes_multi(
                     fwd, named, self.test_loader, self.num_classes,
